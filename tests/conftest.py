@@ -1,0 +1,17 @@
+"""Test harness: force an 8-device virtual CPU platform before jax init.
+
+Multi-device sharding tests run against this virtual mesh (the pattern the
+reference lacks entirely — its tests never touch its DDP path, SURVEY §4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
