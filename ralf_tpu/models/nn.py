@@ -1,0 +1,445 @@
+"""Transformer building blocks with first-class KV-cached decoding.
+
+Functional parity with the reference's torch blocks
+(`image2layout/train/models/common/common.py:13-135` BaseDecoder,
+`nn.TransformerEncoder/Decoder` pre-LN stacks used across the model zoo),
+redesigned for TPU decoding:
+
+  * every attention layer exposes an explicit, statically-shaped KV cache
+    so autoregressive sampling is one `lax.scan` over single-token steps —
+    the reference re-forwards the whole prefix every step with no cache
+    (`models/autoreg.py:166-192`);
+  * cross-attention K/V over the encoder memory are projected once per
+    sequence, not once per step;
+  * masks are additive bias tensors computed on device, shapes static.
+
+Conventions: padding masks are True for VALID positions ("keep"), the
+inverse of torch's key_padding_mask.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9
+
+
+def keep_to_bias(keep: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """bool keep-mask [..., S] -> additive bias [..., S] (0 keep / -inf drop)."""
+    return jnp.where(keep, 0.0, NEG_INF).astype(dtype)
+
+
+def causal_bias(S: int, dtype=jnp.float32) -> jax.Array:
+    """[S, S] additive causal bias."""
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(S)[None, :]
+    return jnp.where(j <= i, 0.0, NEG_INF).astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separable K/V projection for cache reuse."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        assert self.d_model % self.nhead == 0
+        self.head_dim = self.d_model // self.nhead
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
+        self.attn_drop = nn.Dropout(self.dropout)
+
+    def _split(self, x: jax.Array) -> jax.Array:
+        B, S, _ = x.shape
+        return x.reshape(B, S, self.nhead, self.head_dim)
+
+    def project_kv(self, kv_in: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """[B, M, D] -> (k, v) each [B, M, H, Dh].  Used for cache fills."""
+        return self._split(self.k_proj(kv_in)), self._split(self.v_proj(kv_in))
+
+    def attend(
+        self,
+        q_in: jax.Array,
+        k: jax.Array,
+        v: jax.Array,
+        bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """q_in [B,S,D], k/v [B,M,H,Dh], bias broadcastable to [B,H,S,M]."""
+        q = self._split(self.q_proj(q_in))
+        scale = jnp.asarray(self.head_dim, self.dtype) ** -0.5
+        logits = jnp.einsum("bshd,bmhd->bhsm", q * scale, k)
+        if bias is not None:
+            logits = logits + bias.astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = self.attn_drop(probs, deterministic=deterministic)
+        out = jnp.einsum("bhsm,bmhd->bshd", probs, v)
+        B, S = q_in.shape[:2]
+        return self.out_proj(out.reshape(B, S, self.d_model))
+
+    def __call__(
+        self,
+        q_in: jax.Array,
+        kv_in: jax.Array,
+        bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        k, v = self.project_kv(kv_in)
+        return self.attend(q_in, k, v, bias, deterministic)
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
+        h = nn.relu(h) if self.activation == "relu" else nn.gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+        return h
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-LN (norm_first, the model zoo default) or post-LN (FIDNet) layer."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    norm_first: bool = True
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, self.dtype
+        )
+        self.ffn = FeedForward(
+            self.d_model, self.dim_feedforward, self.dropout, self.activation, self.dtype
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.drop1 = nn.Dropout(self.dropout)
+        self.drop2 = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if self.norm_first:
+            h = self.norm1(x)
+            x = x + self.drop1(
+                self.self_attn(h, h, bias, deterministic), deterministic=deterministic
+            )
+            x = x + self.drop2(
+                self.ffn(self.norm2(x), deterministic), deterministic=deterministic
+            )
+        else:
+            x = self.norm1(
+                x
+                + self.drop1(
+                    self.self_attn(x, x, bias, deterministic),
+                    deterministic=deterministic,
+                )
+            )
+            x = self.norm2(
+                x + self.drop2(self.ffn(x, deterministic), deterministic=deterministic)
+            )
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers; keep-mask applied as key bias."""
+
+    d_model: int
+    nhead: int
+    num_layers: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    norm_first: bool = True
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.layers = [
+            TransformerEncoderLayer(
+                self.d_model,
+                self.nhead,
+                self.dim_feedforward,
+                self.dropout,
+                self.norm_first,
+                self.activation,
+                self.dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(
+        self,
+        x: jax.Array,
+        keep: Optional[jax.Array] = None,  # [B, S] True=valid
+        deterministic: bool = True,
+    ) -> jax.Array:
+        bias = None
+        if keep is not None:
+            bias = keep_to_bias(keep)[:, None, None, :]  # [B,1,1,S]
+        for layer in self.layers:
+            x = layer(x, bias, deterministic)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Pre/post-LN decoder layer with explicit single-step cache path."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    norm_first: bool = True
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, self.dtype
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, self.dtype
+        )
+        self.ffn = FeedForward(
+            self.d_model, self.dim_feedforward, self.dropout, self.activation, self.dtype
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.drop1 = nn.Dropout(self.dropout)
+        self.drop2 = nn.Dropout(self.dropout)
+        self.drop3 = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        memory: jax.Array,
+        self_bias: Optional[jax.Array] = None,
+        mem_bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        assert self.norm_first, "decoder stacks in this framework are pre-LN"
+        h = self.norm1(x)
+        x = x + self.drop1(
+            self.self_attn(h, h, self_bias, deterministic), deterministic=deterministic
+        )
+        x = x + self.drop2(
+            self.cross_attn(self.norm2(x), memory, mem_bias, deterministic),
+            deterministic=deterministic,
+        )
+        x = x + self.drop3(
+            self.ffn(self.norm3(x), deterministic), deterministic=deterministic
+        )
+        return x
+
+    # ---- cached decode path ---------------------------------------------
+
+    def cross_kv(self, memory: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Project the encoder memory once; reuse at every decode step."""
+        return self.cross_attn.project_kv(memory)
+
+    def step(
+        self,
+        x_t: jax.Array,  # [B, 1, D]
+        t: jax.Array,  # scalar int32 position
+        cache_k: jax.Array,  # [B, T, H, Dh]
+        cache_v: jax.Array,
+        self_bias_t: jax.Array,  # [B, 1, 1, T] additive (pos<=t & not-pad)
+        cross_k: jax.Array,
+        cross_v: jax.Array,
+        mem_bias: Optional[jax.Array],
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        h = self.norm1(x_t)
+        k_t, v_t = self.self_attn.project_kv(h)  # [B,1,H,Dh]
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t.astype(cache_k.dtype), t, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t.astype(cache_v.dtype), t, axis=1)
+        x_t = x_t + self.self_attn.attend(h, cache_k, cache_v, self_bias_t)
+        x_t = x_t + self.cross_attn.attend(self.norm2(x_t), cross_k, cross_v, mem_bias)
+        x_t = x_t + self.ffn(self.norm3(x_t))
+        return x_t, cache_k, cache_v
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder stack exposing both a full (training) and a cached (decode)
+    forward.  The cached path is intended to be driven from a `lax.scan`
+    (see `ralf_tpu/ops/decode_loop.py`)."""
+
+    d_model: int
+    nhead: int
+    num_layers: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.layers = [
+            TransformerDecoderLayer(
+                self.d_model,
+                self.nhead,
+                self.dim_feedforward,
+                self.dropout,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(
+        self,
+        x: jax.Array,  # [B, S, D] embedded target
+        memory: jax.Array,  # [B, M, D]
+        tgt_keep: Optional[jax.Array] = None,  # [B, S]
+        mem_keep: Optional[jax.Array] = None,  # [B, M]
+        causal: bool = True,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, S, _ = x.shape
+        self_bias = jnp.zeros((1, 1, S, S), jnp.float32)
+        if causal:
+            self_bias = self_bias + causal_bias(S)[None, None]
+        if tgt_keep is not None:
+            self_bias = self_bias + keep_to_bias(tgt_keep)[:, None, None, :]
+        mem_bias = None
+        if mem_keep is not None:
+            mem_bias = keep_to_bias(mem_keep)[:, None, None, :]
+        for layer in self.layers:
+            x = layer(x, memory, self_bias, mem_bias, deterministic)
+        return x
+
+    # ---- cached decode path ---------------------------------------------
+
+    def init_cache(self, batch: int, max_len: int) -> dict:
+        """Zeroed per-layer KV cache pytree for a decode of `max_len` steps."""
+        hd = self.d_model // self.nhead
+        shape = (batch, max_len, self.nhead, hd)
+        return {
+            "k": [jnp.zeros(shape, self.dtype) for _ in range(self.num_layers)],
+            "v": [jnp.zeros(shape, self.dtype) for _ in range(self.num_layers)],
+        }
+
+    def cross_kv(self, memory: jax.Array) -> list:
+        return [layer.cross_kv(memory) for layer in self.layers]
+
+    def step(
+        self,
+        x_t: jax.Array,  # [B, 1, D]
+        t: jax.Array,  # scalar int32
+        cache: dict,
+        cross_kvs: list,
+        self_keep: jax.Array,  # [B, T] True = attend (already excludes > t)
+        mem_keep: Optional[jax.Array],
+    ) -> tuple[jax.Array, dict]:
+        self_bias = keep_to_bias(self_keep)[:, None, None, :]
+        mem_bias = (
+            keep_to_bias(mem_keep)[:, None, None, :] if mem_keep is not None else None
+        )
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x_t, ck, cv = layer.step(
+                x_t,
+                t,
+                cache["k"][i],
+                cache["v"][i],
+                self_bias,
+                cross_kvs[i][0],
+                cross_kvs[i][1],
+                mem_bias,
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+        return x_t, {"k": new_k, "v": new_v}
+
+
+class TokenDecoder(nn.Module):
+    """Embedding + 1-d PE + decoder stack + (LN, tied-free Linear) head.
+
+    Parity with the reference `BaseDecoder`
+    (`models/common/common.py:13-135`): vocab embedding, 'layout' sine PE
+    with sqrt(d) input scaling, pre-LN nn.TransformerDecoder, and an
+    LN+bias-free-Linear logit head.
+    """
+
+    vocab_size: int
+    d_model: int = 256
+    nhead: int = 8
+    num_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        from ralf_tpu.models.positional import PositionalEncoding1D
+
+        self.emb = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype)
+        self.pos_emb = PositionalEncoding1D(self.d_model, dropout=self.dropout)
+        self.stack = TransformerDecoder(
+            self.d_model,
+            self.nhead,
+            self.num_layers,
+            self.dim_feedforward,
+            self.dropout,
+            self.dtype,
+        )
+        self.head_norm = nn.LayerNorm(dtype=self.dtype)
+        self.head_out = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype)
+
+    def __call__(
+        self,
+        seq: jax.Array,  # [B, S] int tokens
+        memory: jax.Array,  # [B, M, D]
+        tgt_keep: Optional[jax.Array] = None,
+        mem_keep: Optional[jax.Array] = None,
+        causal: bool = True,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        h = self.emb(seq)
+        h = self.pos_emb(h, deterministic=deterministic)
+        h = self.stack(h, memory, tgt_keep, mem_keep, causal, deterministic)
+        return self.head_out(self.head_norm(h))
+
+    # ---- cached decode path (driven by ops/decode_loop.py) ---------------
+
+    def embed_step(self, tok: jax.Array, t: jax.Array) -> jax.Array:
+        """tok [B] int32, t scalar -> [B, 1, D] PE'd embedding (no dropout)."""
+        from ralf_tpu.models.positional import sincos_1d
+
+        h = self.emb(tok)[:, None, :]  # [B,1,D]
+        pe = jnp.asarray(sincos_1d(4096, self.d_model), h.dtype)
+        h = h * jnp.sqrt(jnp.asarray(self.d_model, h.dtype))
+        h = h + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None]
+        return h
+
+    def head(self, x: jax.Array) -> jax.Array:
+        return self.head_out(self.head_norm(x))
+
+    def init_cache(self, batch: int, max_len: int) -> dict:
+        return self.stack.init_cache(batch, max_len)
+
+    def cross_kv(self, memory: jax.Array) -> list:
+        return self.stack.cross_kv(memory)
+
+    def step(self, x_t, t, cache, cross_kvs, self_keep, mem_keep):
+        return self.stack.step(x_t, t, cache, cross_kvs, self_keep, mem_keep)

@@ -1,0 +1,207 @@
+"""ResNet image backbones (NHWC, flax) with the reference's mini-FPN head.
+
+Parity target: `image2layout/train/models/common/image.py:27-129`
+(ResnetBackbone/ResnetFeatureExtractor): a torchvision/timm ResNet-50/18
+with a 4-channel stem (RGB + saliency), feature taps at layer3 (stride 16)
+and layer4 (stride 32), then
+
+    f4p = 1x1(layer3); f5p = 1x1(layer4); f5up = upsample(f5p, size=f4p)
+    fused = concat[f5up, 3x3(f5up + f4p)]   # 2*256 channels
+    out   = 1x1(fused) -> d_model           # [B, h/16, w/16, d_model]
+
+Redesigned TPU-first: NHWC layout (XLA-preferred), bottleneck-v1.5
+blocks, BatchNorm with running stats, bf16-able compute dtype.  Weight
+import from a torchvision/timm checkpoint (when a file is provided —
+zero-egress environments have no downloads) is handled by
+`ralf_tpu/utils/torch_port.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ImageNet statistics used by the torchvision-path extractor
+# (`common/image.py:18-20`); the timm-path extractor skips normalization.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class Bottleneck(nn.Module):
+    features: int  # internal width; output is 4x
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+        )
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(
+                self.features * 4,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="down_conv",
+            )(residual)
+            residual = norm("down_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+        )
+        residual = x
+        y = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="down_conv",
+            )(residual)
+            residual = norm("down_bn")(residual)
+        return nn.relu(y + residual)
+
+
+_STAGES = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2), (64, 128, 256, 512), (256, 512)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), (64, 128, 256, 512), (1024, 2048)),
+}
+
+
+class ResNetTrunk(nn.Module):
+    """4-channel-stem ResNet returning (layer3, layer4) feature maps."""
+
+    backbone: str = "resnet50"
+    in_channels: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        block, depths, widths, _ = _STAGES[self.backbone]
+        y = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
+        y = nn.relu(
+            nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1"
+            )(y)
+        )
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        taps = {}
+        for stage, (n_blocks, width) in enumerate(zip(depths, widths)):
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                y = block(width, stride, self.dtype, name=f"layer{stage + 1}_{b}")(
+                    y, train
+                )
+            if stage in (2, 3):
+                taps[f"layer{stage + 1}"] = y
+        return taps["layer3"], taps["layer4"]
+
+
+class ResNetFPNEncoder(nn.Module):
+    """The reference ResnetBackbone 'transformer' head: trunk + mini-FPN
+    projecting to a [B, H/16, W/16, d_model] map (`common/image.py:79-120`)."""
+
+    backbone: str = "resnet50"
+    d_model: int = 256
+    normalize_rgb: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+        """img: [B, H, W, 4] in [0, 1] (RGB + saliency)."""
+        if self.normalize_rgb:
+            mean = jnp.asarray(IMAGENET_MEAN + (0.0,), img.dtype)
+            std = jnp.asarray(IMAGENET_STD + (1.0,), img.dtype)
+            img = (img - mean) / std
+        f3, f4 = ResNetTrunk(self.backbone, dtype=self.dtype, name="trunk")(img, train)
+        f4p = nn.Conv(256, (1, 1), dtype=self.dtype, name="fpn_conv11_4")(f3)
+        f5p = nn.Conv(256, (1, 1), dtype=self.dtype, name="fpn_conv11_5")(f4)
+        f5up = jax.image.resize(
+            f5p, (f5p.shape[0],) + f4p.shape[1:3] + (f5p.shape[-1],), method="nearest"
+        )
+        fused = jnp.concatenate(
+            [f5up, nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="fpn_conv33")(f5up + f4p)],
+            axis=-1,
+        )
+        return nn.Conv(self.d_model, (1, 1), dtype=self.dtype, name="proj")(fused)
+
+
+class ImageEncoder(nn.Module):
+    """extractor -> 2-d sine PE -> 6-layer pre-LN TransformerEncoder memory.
+
+    Parity with `models/autoreg.py:54-70` + `common/image.py:132-179`:
+    the content path every generator shares.  Output [B, H'W', d_model].
+    """
+
+    backbone: str = "resnet50"
+    d_model: int = 256
+    nhead: int = 8
+    num_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    normalize_rgb: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+        from ralf_tpu.models.nn import TransformerEncoder
+        from ralf_tpu.models.positional import PositionEmbeddingSine2D
+
+        fmap = ResNetFPNEncoder(
+            self.backbone, self.d_model, self.normalize_rgb, self.dtype, name="extractor"
+        )(img, train)
+        h = PositionEmbeddingSine2D(self.d_model, name="pos_2d")(fmap)
+        h = TransformerEncoder(
+            self.d_model,
+            self.nhead,
+            self.num_layers,
+            self.dim_feedforward,
+            self.dropout,
+            dtype=self.dtype,
+            name="transformer",
+        )(h, deterministic=not train)
+        return h

@@ -15,3 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# This image's CPU backend defaults to reduced-precision matmuls (bf16-like),
+# which makes Dense outputs vary with batch shape by ~1e-2 — enough to break
+# exact full-vs-cached-decode comparisons.  Pin tests to fp32 matmuls.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache — CPU test recompiles dominate suite runtime.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,90 @@
+"""Transformer block tests — most importantly, cached single-step decode
+must exactly reproduce the full causal forward (no dropout)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ralf_tpu.models.nn import TokenDecoder, TransformerEncoder
+
+
+def test_encoder_shapes_and_mask_invariance():
+    enc = TransformerEncoder(d_model=32, nhead=4, num_layers=2, dim_feedforward=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 32))
+    keep = jnp.ones((2, 7), bool).at[1, 5:].set(False)
+    params = enc.init(jax.random.PRNGKey(1), x, keep)
+    out = enc.apply(params, x, keep)
+    assert out.shape == (2, 7, 32)
+    # masked key positions don't influence valid outputs
+    x2 = x.at[1, 5:].set(123.0)
+    out2 = enc.apply(params, x2, keep)
+    np.testing.assert_allclose(out[1, :5], out2[1, :5], atol=1e-5)
+
+
+def test_token_decoder_full_forward():
+    dec = TokenDecoder(vocab_size=20, d_model=32, nhead=4, num_layers=2, dim_feedforward=64)
+    seq = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]])
+    memory = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
+    params = dec.init(jax.random.PRNGKey(1), seq, memory)
+    logits = dec.apply(params, seq, memory)
+    assert logits.shape == (2, 4, 20)
+    # causality: changing a later token can't affect earlier logits
+    seq2 = seq.at[:, 3].set(9)
+    logits2 = dec.apply(params, seq2, memory)
+    np.testing.assert_allclose(logits[:, :3], logits2[:, :3], atol=1e-5)
+
+
+def test_cached_step_matches_full_forward():
+    T, B, V = 6, 3, 20
+    dec = TokenDecoder(vocab_size=V, d_model=32, nhead=4, num_layers=2, dim_feedforward=64)
+    key = jax.random.PRNGKey(0)
+    seq = jax.random.randint(key, (B, T), 0, V)
+    memory = jax.random.normal(jax.random.PRNGKey(2), (B, 5, 32))
+    mem_keep = jnp.ones((B, 5), bool).at[0, 3:].set(False)
+    params = dec.init(jax.random.PRNGKey(1), seq, memory)
+
+    full = dec.apply(params, seq, memory, None, mem_keep)  # [B, T, V]
+
+    cache = dec.apply(params, B, T, method=TokenDecoder.init_cache)
+    cross = dec.apply(params, memory, method=TokenDecoder.cross_kv)
+    step_logits = []
+    for t in range(T):
+        x_t = dec.apply(params, seq[:, t], jnp.int32(t), method=TokenDecoder.embed_step)
+        self_keep = (jnp.arange(T) <= t)[None, :].repeat(B, 0)
+        x_t, cache = dec.apply(
+            params, x_t, jnp.int32(t), cache, cross, self_keep, mem_keep,
+            method=TokenDecoder.step,
+        )
+        step_logits.append(dec.apply(params, x_t, method=TokenDecoder.head)[:, 0])
+    stepped = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped), atol=2e-4)
+
+
+def test_cached_step_respects_pad_mask():
+    # a pad token in the prefix must not change later steps when masked out
+    T, B, V = 5, 2, 16
+    dec = TokenDecoder(vocab_size=V, d_model=32, nhead=4, num_layers=2, dim_feedforward=64)
+    seq = jnp.asarray([[1, 2, 3, 4, 5], [1, 2, 3, 4, 5]])
+    memory = jax.random.normal(jax.random.PRNGKey(2), (B, 4, 32))
+    params = dec.init(jax.random.PRNGKey(1), seq, memory)
+    pad_pos = 2
+
+    def run(seq, mask_pad):
+        cache = dec.apply(params, B, T, method=TokenDecoder.init_cache)
+        cross = dec.apply(params, memory, method=TokenDecoder.cross_kv)
+        outs = []
+        for t in range(T):
+            x_t = dec.apply(params, seq[:, t], jnp.int32(t), method=TokenDecoder.embed_step)
+            self_keep = (jnp.arange(T) <= t)[None, :].repeat(B, 0)
+            if mask_pad:
+                self_keep = self_keep.at[:, pad_pos].set(False)
+            x_t, cache = dec.apply(
+                params, x_t, jnp.int32(t), cache, cross, self_keep, None,
+                method=TokenDecoder.step,
+            )
+            outs.append(dec.apply(params, x_t, method=TokenDecoder.head)[:, 0])
+        return jnp.stack(outs, axis=1)
+
+    a = run(seq, True)
+    b = run(seq.at[:, pad_pos].set(9), True)
+    np.testing.assert_allclose(np.asarray(a[:, 3:]), np.asarray(b[:, 3:]), atol=1e-5)
