@@ -1,0 +1,244 @@
+"""Training loop: jitted data-parallel steps, epoch schedulers, orbax
+checkpoints with full resume.
+
+Parity surface (`image2layout/train/train.py:254-527`): epoch loop with
+train/val phases, grad clipping, scheduler step (plateau consumes the val
+metric), periodic + final checkpointing.  Deliberate improvements over the
+reference (SURVEY §5): optimizer state IS checkpointed and training is
+resumable mid-run (the reference restarts from scratch on failure), and
+the step is one compiled SPMD program over the mesh instead of
+DDP-wrapped eager torch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ralf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from ralf_tpu.train.optim import build_optimizer, set_learning_rate
+from ralf_tpu.train.schedulers import build_scheduler
+
+logger = logging.getLogger(__name__)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Defaults follow `train/config/__init__.py:18-34`."""
+
+    epochs: int = 50
+    batch_size: int = 32
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    clip_max_norm: float = 1.0
+    scheduler: str = "void"
+    scheduler_kwargs: dict = dataclasses.field(default_factory=dict)
+    seed: int = 0
+    job_dir: str = "tmp/jobs/default"
+    save_every_epochs: int = 0  # 0 = only final/best
+    log_every_steps: int = 50
+
+
+class Trainer:
+    def __init__(
+        self,
+        generator,
+        cfg: TrainConfig,
+        mesh=None,
+    ) -> None:
+        self.gen = generator
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.scheduler = build_scheduler(
+            cfg.scheduler, cfg.epochs, **cfg.scheduler_kwargs
+        )
+        self.tx: Optional[optax.GradientTransformation] = None
+        self._train_step = None
+        self._eval_step = None
+        os.makedirs(cfg.job_dir, exist_ok=True)
+        self._metrics_path = os.path.join(cfg.job_dir, "metrics.jsonl")
+
+    # ---- state -------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        variables = self.gen.init(key)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.tx = build_optimizer(
+            params,
+            base_lr=self.cfg.lr,
+            weight_decay=self.cfg.weight_decay,
+            clip_max_norm=self.cfg.clip_max_norm,
+        )
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return replicate(self.mesh, state)
+
+    # ---- compiled steps ------------------------------------------------------
+
+    def _build_steps(self):
+        gen, tx = self.gen, self.tx
+
+        def train_step(state: TrainState, inputs, targets, key):
+            def loss_fn(params):
+                loss, aux = gen.loss(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    inputs,
+                    targets,
+                    train=True,
+                    rngs={"dropout": key},
+                )
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_bs = aux["state"].get("batch_stats", state.batch_stats)
+            new_state = TrainState(
+                params=params,
+                batch_stats=new_bs,
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            metrics = {k: v for k, v in aux.items() if k != "state"}
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        def eval_step(state: TrainState, inputs, targets):
+            loss, aux = gen.loss(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                inputs,
+                targets,
+                train=False,
+            )
+            return {"loss": loss}
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # ---- loops ---------------------------------------------------------------
+
+    def _device_batch(self, inputs, targets):
+        inputs = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in inputs.items()})
+        targets = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in targets.items()})
+        return inputs, targets
+
+    def fit(
+        self,
+        train_loader,
+        val_loader=None,
+        state: Optional[TrainState] = None,
+        num_steps_cap: Optional[int] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        if state is None:
+            key, sub = jax.random.split(key)
+            state = self.init_state(sub)
+        if self._train_step is None:
+            self._build_steps()
+        rng = np.random.default_rng(cfg.seed)
+
+        best_val = float("inf")
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(train_loader):
+                if num_steps_cap and i >= num_steps_cap:
+                    break
+                inputs, targets = self.gen.preprocess(batch, rng)
+                inputs, targets = self._device_batch(inputs, targets)
+                key, sub = jax.random.split(key)
+                state, metrics = self._train_step(state, inputs, targets, sub)
+                losses.append(metrics["loss"])
+                if cfg.log_every_steps and (i % cfg.log_every_steps == 0):
+                    logger.info(
+                        "epoch %d step %d loss %.4f", epoch, i, float(metrics["loss"])
+                    )
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+            val_loss = None
+            if val_loader is not None:
+                vl = []
+                for i, batch in enumerate(val_loader):
+                    if num_steps_cap and i >= num_steps_cap:
+                        break
+                    inputs, targets = self.gen.preprocess(batch, rng)
+                    inputs, targets = self._device_batch(inputs, targets)
+                    vl.append(self._eval_step(state, inputs, targets)["loss"])
+                val_loss = float(jnp.mean(jnp.stack(vl))) if vl else None
+
+            # epoch-level LR schedule (plateau consumes the val metric)
+            scale = self.scheduler.scale(epoch, val_loss)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, cfg.lr * scale)
+            )
+
+            rec = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr_scale": scale,
+                "sec": round(time.time() - t0, 2),
+            }
+            with open(self._metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            logger.info("epoch %d done: %s", epoch, rec)
+
+            if val_loss is not None and val_loss < best_val:
+                best_val = val_loss
+                self.save(state, tag="best")
+            if cfg.save_every_epochs and epoch % cfg.save_every_epochs == 0:
+                self.save(state, tag=f"epoch{epoch}")
+
+        self.save(state, tag="final")
+        return state
+
+    # ---- checkpointing (orbax) -------------------------------------------------
+
+    def _ckpt_dir(self, tag: str) -> str:
+        return os.path.abspath(os.path.join(self.cfg.job_dir, f"ckpt_{tag}"))
+
+    def save(self, state: TrainState, tag: str = "final") -> None:
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(tag)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+        logger.info("saved checkpoint %s", path)
+
+    def restore(self, tag: str = "final", state: Optional[TrainState] = None) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        if state is None:
+            state = self.init_state(jax.random.PRNGKey(self.cfg.seed))
+        if self._train_step is None:
+            self._build_steps()
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(self._ckpt_dir(tag), jax.device_get(state))
+        return replicate(self.mesh, restored)
