@@ -19,12 +19,20 @@ NEG_INF = jnp.finfo(jnp.float32).min
 
 @dataclasses.dataclass(frozen=True)
 class SamplingConfig:
-    """Mirrors the hydra sampling group (`train/config/sampling.py:50-58`)."""
+    """Mirrors the hydra sampling group (`train/config/sampling.py:50-58`).
+
+    top_p_prefilter: optionally restrict nucleus sampling to this many
+    highest logits via `lax.top_k` before the cumsum mask.  Measured on
+    TPU v5e the exact full-vocab sort path is FASTER inside the decode
+    scan than a top-k prefilter (lax.top_k lowers poorly there), so the
+    default is 0 = exact.
+    """
 
     name: str = "random"  # deterministic | random | top_k | top_p | gumbel
     temperature: float = 1.0
     top_k: int = 5
     top_p: float = 0.9
+    top_p_prefilter: int = 0
 
 
 def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
@@ -46,6 +54,25 @@ def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
+def _nucleus_sample_prefiltered(
+    key: jax.Array, scaled: jax.Array, p: float, k: int
+) -> jax.Array:
+    """Nucleus sampling over the top-k prefilter (k << V).
+
+    lax.top_k returns values sorted descending, so the reference's
+    sort+cumsum mask (`sampling.py:41-52`) applies directly to the
+    prefiltered slice; the winner maps back through the index table.
+    """
+    vals, idx = jax.lax.top_k(scaled, k)  # [.., k] sorted desc
+    cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+    keep = (cum <= p) | (jnp.arange(k) == 0)
+    vals = jnp.where(keep, vals, NEG_INF)
+    choice = jax.random.categorical(key, vals, axis=-1)  # [..] in [0, k)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(
+        jnp.int32
+    )
+
+
 def sample(
     key: Optional[jax.Array],
     logits: jax.Array,
@@ -58,6 +85,11 @@ def sample(
 
     t = temperature if temperature is not None else cfg.temperature
     scaled = logits / t
+
+    if cfg.name == "top_p" and 0 < cfg.top_p_prefilter < logits.shape[-1]:
+        return _nucleus_sample_prefiltered(
+            key, scaled, cfg.top_p, cfg.top_p_prefilter
+        )
 
     if cfg.name == "top_k":
         scaled = top_k_filter(scaled, cfg.top_k)

@@ -143,8 +143,8 @@ class Trainer:
     # ---- loops ---------------------------------------------------------------
 
     def _device_batch(self, inputs, targets):
-        inputs = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in inputs.items()})
-        targets = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in targets.items()})
+        inputs = shard_batch(self.mesh, jax.tree.map(jnp.asarray, inputs))
+        targets = shard_batch(self.mesh, jax.tree.map(jnp.asarray, targets))
         return inputs, targets
 
     def fit(

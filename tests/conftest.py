@@ -7,12 +7,21 @@ reference lacks entirely — its tests never touch its DDP path, SURVEY §4).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the environment exports JAX_PLATFORMS=axon globally AND its
+# sitecustomize pre-imports jax, freezing that env var into jax.config —
+# so both the env var and jax.config must be overridden before the first
+# backend initialization, or the whole suite silently runs over the
+# remote-TPU tunnel (slow, and hangs when another process holds the chip).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
