@@ -176,6 +176,11 @@ def get_condition(
     B, T = seq.shape
     C = tokenizer.N_var_per_element
     pad_id = tokenizer.pad_id
+    # AR tokenizers prepend BOS; diffusion/MaskGIT tokenizers don't, and
+    # mark unknowns with their [MASK] token instead of -1
+    off = 1 if tokenizer.has_bos_eos else 0
+    sp = tokenizer.special_tokens
+    mask_id = tokenizer.name_to_id("mask") if "mask" in sp else MASK_ID
 
     cond = Condition(image=image, task=task_n, ids=ids, retrieved=retrieved)
     target = layout
@@ -184,11 +189,11 @@ def get_condition(
         pass
 
     elif task_n == "partial":
-        # keep BOS + the first element's tokens, everything else unknown
-        new_seq = np.full_like(seq, MASK_ID)
+        # keep (BOS +) the first element's tokens, everything else unknown
+        new_seq = np.full_like(seq, mask_id)
         new_mask = np.zeros_like(mask)
-        new_seq[:, : 1 + C] = seq[:, : 1 + C]
-        new_mask[:, : 1 + C] = True
+        new_seq[:, : off + C] = seq[:, : off + C]
+        new_mask[:, : off + C] = True
         cond.seq, cond.seq_mask = new_seq, new_mask
 
     elif task_n in ("c", "cwh", "relation"):
@@ -196,12 +201,12 @@ def get_condition(
             cond.edges = compute_relation(layout, rng)
             cond.relations = describe_relationships(layout)
         pos = np.arange(T)
-        attr_ind = (pos - 1) % C
+        attr_ind = (pos - off) % C
         keep = np.zeros((B, T), bool)
-        keep[:, 0] = True  # BOS
+        keep[:, :off] = True  # BOS
         for attr in TASK_VARS[task_n]:
             keep |= (attr_ind == list(tokenizer.var_order).index(attr))[None, :]
-        seq_c = np.where(keep, seq, MASK_ID)
+        seq_c = np.where(keep, seq, mask_id)
         seq_c = np.where(mask, seq_c, pad_id)  # element count is given
         cond.seq = seq_c
         cond.seq_mask = (mask & keep) | ~mask
@@ -246,11 +251,16 @@ def _parse_cond_elements(
     holds pad/eos are invalid (`task_preprocessor.py:149-258`).
     """
     tok = tokenizer
-    body = cond_seq[:, 1:].reshape(cond_seq.shape[0], tok.max_seq_length, -1)
+    off = 1 if tok.has_bos_eos else 0
+    body = cond_seq[:, off:].reshape(cond_seq.shape[0], tok.max_seq_length, -1)
     body = np.swapaxes(body, 1, 2)  # [B, C, S]
     label_row = list(tok.var_order).index("label")
     labels = body[:, label_row]
-    valid = (labels != tok.pad_id) & (labels != tok.eos_id) & (labels != MASK_ID)
+    valid = (labels != tok.pad_id) & (labels != MASK_ID)
+    if tok.has_bos_eos:
+        valid &= labels != tok.eos_id
+    if "mask" in tok.special_tokens:
+        valid &= labels != tok.name_to_id("mask")
     return body, valid
 
 
@@ -352,6 +362,7 @@ def build_forced_tokens(
                      reference seeds the decoder with those 5 tokens)
       uncond / gt / none : free
     """
+    assert tokenizer.has_bos_eos, "forced-token decode is for AR tokenizers"
     L = tokenizer.max_token_length
     C = tokenizer.N_var_per_element
     task = normalize_task(cond.task)

@@ -1,0 +1,264 @@
+"""MaskGIT — masked parallel decoding baseline.
+
+Parity target: `image2layout/train/models/maskgit.py` (mask schedules
+`:25-60`, random-masking CE training `:279-310`, T-step iterative
+unmasking with confidence + gumbel re-masking `:157-277`).
+
+TPU redesign: the T-step refinement is one jitted `lax.fori_loop` over
+full-sequence (non-causal) decoder forwards — MaskGIT's parallel decode is
+the most TPU-friendly sampler in the zoo (no KV cache, all positions
+predicted at once).  The reference's step-0 quirk (an all-False eligible
+mask re-masks EVERYTHING, effectively initializing uncond decoding) is
+reproduced by the -inf>=-inf semantics of batch_topk_mask.
+
+Tokenizer contract: special_tokens=(pad, mask), no BOS/EOS, sequences
+always at full length (the maskgit experiment yaml uses pad_until_max).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ralf_tpu.core.conditioning import Condition, get_condition, normalize_task
+from ralf_tpu.core.layout import Layout
+from ralf_tpu.core.mask import batch_topk_mask, mask_schedule, sample_mask
+from ralf_tpu.core.sampling import NEG_INF, SamplingConfig, sample
+from ralf_tpu.core.tokenizer import LayoutSequenceTokenizer
+from ralf_tpu.models.autoreg import smoothed_ce_loss
+from ralf_tpu.models.base import GeneratorConfig
+from ralf_tpu.models.nn import TokenDecoder
+from ralf_tpu.models.resnet import ImageEncoder
+
+
+class MaskGITCore(nn.Module):
+    vocab_size: int
+    cfg: GeneratorConfig = GeneratorConfig()
+
+    def setup(self) -> None:
+        c = self.cfg
+        dtype = c.dtype or jnp.float32
+        self.encoder = ImageEncoder(
+            backbone=c.backbone,
+            d_model=c.d_model,
+            nhead=c.nhead,
+            num_layers=c.num_encoder_layers,
+            dim_feedforward=2048 if c.d_model == 256 else 4 * c.d_model,
+            dropout=c.dropout,
+            fpn_style="cgl",
+            dtype=dtype,
+        )
+        self.decoder = TokenDecoder(
+            vocab_size=self.vocab_size,
+            d_model=c.d_model,
+            nhead=c.nhead,
+            num_layers=c.num_decoder_layers,
+            dim_feedforward=2048 if c.d_model == 256 else 4 * c.d_model,
+            dropout=c.dropout,
+            dtype=dtype,
+        )
+
+    def encode_memory(self, image: jax.Array, train: bool = False) -> jax.Array:
+        return self.encoder(image, train=train)
+
+    def __call__(self, seq: jax.Array, image: jax.Array, train: bool = False):
+        memory = self.encode_memory(image, train)
+        # attend to ALL target tokens (use_padding_as_vocab=True path,
+        # `maskgit.py:128-135`), bidirectional
+        return self.decoder(seq, memory, causal=False, deterministic=not train)
+
+
+class MaskGITGenerator:
+    """Generator-protocol wrapper (train = random-mask CE; sample =
+    T-step confidence-driven unmasking)."""
+
+    def __init__(
+        self,
+        tokenizer: LayoutSequenceTokenizer,
+        cfg: GeneratorConfig = GeneratorConfig(),
+        mask_schedule_name: str = "linear",
+        use_gumbel_noise: bool = True,
+        num_timesteps: int = 10,
+        image_hw: tuple[int, int] = (350, 240),
+    ) -> None:
+        sp = tuple(tokenizer.special_tokens)
+        assert "mask" in sp and "bos" not in sp, (
+            "MaskGIT needs a (pad, mask) tokenizer, no BOS/EOS"
+        )
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.schedule = mask_schedule_name
+        self.use_gumbel_noise = use_gumbel_noise
+        self.num_timesteps = num_timesteps
+        self.image_hw = image_hw
+        self.task = "uncond"
+        self.core = MaskGITCore(vocab_size=tokenizer.N_total, cfg=cfg)
+        self.token_mask = tokenizer.token_mask
+        self.mask_id = tokenizer.name_to_id("mask")
+        self.pad_id = tokenizer.pad_id
+        # element-count EMA (`common/common.py:167-197`), host-side
+        self.n_elements_prob = np.full(
+            (tokenizer.max_seq_length,), 1.0 / tokenizer.max_seq_length
+        )
+        self._seq_dist_weight = 0.999
+
+    # ---- init ------------------------------------------------------------
+
+    def init(self, key: jax.Array, batch_size: int = 1):
+        H, W = self.image_hw
+        T = self.tokenizer.max_token_length
+        return jax.jit(self.core.init)(
+            key,
+            jnp.zeros((batch_size, T), jnp.int32),
+            jnp.zeros((batch_size, H, W, 4), jnp.float32),
+        )
+
+    # ---- training ----------------------------------------------------------
+
+    def update_seq_dist(self, elem_mask: np.ndarray) -> None:
+        n = elem_mask.sum(1)
+        S = self.tokenizer.max_seq_length
+        batch_prob = np.bincount(n, minlength=S + 1)[1:] / len(n)
+        w = self._seq_dist_weight
+        self.n_elements_prob = w * self.n_elements_prob + (1 - w) * batch_prob
+
+    def build_condition(self, batch: dict, rng: np.random.Generator,
+                        task: Optional[str] = None):
+        task = self.task if task is None else normalize_task(task)
+        return get_condition(
+            batch["layout"], batch["image"], task, self.tokenizer, rng,
+            ids=batch.get("id"),
+        )
+
+    def preprocess(self, batch: dict, rng: np.random.Generator):
+        """Random masking (`maskgit.py:279-310`, use_padding_as_vocab)."""
+        self.update_seq_dist(np.asarray(batch["layout"].mask))
+        enc = self.tokenizer.encode(batch["layout"])
+        seq = np.asarray(enc["seq"])
+        B, T = seq.shape
+        ratio = np.asarray(
+            mask_schedule(jnp.asarray(rng.uniform(size=(B,))), self.schedule)
+        )
+        key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        loss_mask = np.asarray(
+            sample_mask(key, jnp.ones((B, T), bool), jnp.asarray(ratio))
+        )
+        masked = np.where(loss_mask, self.mask_id, seq)
+        inputs = {"seq": masked, "image": np.asarray(batch["image"])}
+        targets = {"seq": seq, "loss_mask": loss_mask}
+        return inputs, targets
+
+    def loss(self, variables, inputs, targets, *, train: bool = True,
+             rngs: Optional[dict] = None):
+        logits, new_state = self.core.apply(
+            variables, inputs["seq"], inputs["image"], train,
+            rngs=rngs, mutable=["batch_stats"] if train else [],
+        )
+        # CE (smoothing 0.1) over the masked positions only: emulate the
+        # ignore via a sentinel target that can't occur
+        tgt = jnp.where(targets["loss_mask"], targets["seq"], -1)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        on, off = 0.9, 0.1 / V
+        safe_tgt = jnp.maximum(tgt, 0)
+        tgt_logp = jnp.take_along_axis(logp, safe_tgt[..., None], axis=-1)[..., 0]
+        per_tok = -(on * tgt_logp + off * jnp.sum(logp, axis=-1))
+        keep = (tgt >= 0).astype(jnp.float32)
+        nll = jnp.sum(per_tok * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+        return nll, {"nll_loss": nll, "state": new_state}
+
+    # ---- sampling ----------------------------------------------------------
+
+    def sample(self, variables, cond: Condition, sampling: SamplingConfig,
+               key: jax.Array, return_tokens: bool = False,
+               num_timesteps: Optional[int] = None):
+        T_steps = num_timesteps or self.num_timesteps
+        tok = self.tokenizer
+        L = tok.max_token_length
+        B = np.asarray(cond.image).shape[0]
+        task = normalize_task(cond.task)
+
+        if cond.seq is not None:
+            seq_user = jnp.asarray(cond.seq, jnp.int32)
+            known_user = jnp.asarray(cond.seq_mask, bool)
+        else:
+            seq_user = jnp.full((B, L), self.pad_id, jnp.int32)
+            known_user = jnp.zeros((B, L), bool)
+
+        element_num_known = task in ("c", "cwh", "refinement")
+        seq = self._sample_jit(
+            variables, jnp.asarray(cond.image), seq_user, known_user,
+            sampling, key, T_steps, element_num_known,
+        )
+        layout = tok.decode(seq)
+        return (layout, seq) if return_tokens else layout
+
+    def _sample_jit(self, variables, image, seq_user, known_user, sampling,
+                    key, T_steps: int, element_num_known: bool):
+        tok = self.tokenizer
+        L = tok.max_token_length
+        B = image.shape[0]
+        token_ok = jnp.asarray(self.token_mask)  # [L, V]
+        V = tok.N_total
+        mask_id, pad_id = self.mask_id, self.pad_id
+
+        memory = self.core.apply(
+            variables, image, False, method=MaskGITCore.encode_memory
+        )
+        dec_vars = {"params": variables["params"]["decoder"]}
+        decoder = TokenDecoder(
+            vocab_size=V,
+            d_model=self.cfg.d_model,
+            nhead=self.cfg.nhead,
+            num_layers=self.cfg.num_decoder_layers,
+            dim_feedforward=2048 if self.cfg.d_model == 256 else 4 * self.cfg.d_model,
+            dropout=self.cfg.dropout,
+            dtype=self.cfg.dtype or jnp.float32,
+        )
+
+        seq0 = seq_user
+        element_mask = seq_user != pad_id  # positions that must not be PAD
+
+        invalid = ~token_ok[None]  # [1, L, V]
+        if element_num_known:
+            pad_forbidden = element_mask[:, :, None] & (
+                jnp.arange(V)[None, None, :] == pad_id
+            )
+            invalid = invalid | pad_forbidden
+
+        def body(t, carry):
+            seq, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            float_t = (t + 1.0) / T_steps
+            ratio = mask_schedule(jnp.full((B,), float_t), self.schedule)
+            temp_t = sampling.temperature * (1.0 - float_t)
+            is_masked = seq == mask_id
+
+            logits = decoder.apply(dec_vars, seq, memory, causal=False)
+            logits = jnp.where(invalid, NEG_INF, logits.astype(jnp.float32))
+
+            seq_pred = sample(k1, logits, sampling)  # [B, L]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            conf = jnp.take_along_axis(logp, seq_pred[..., None], axis=-1)[..., 0]
+            if self.use_gumbel_noise:
+                u = jax.random.uniform(k2, conf.shape)
+                conf = conf + temp_t * -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
+
+            seq = jnp.where(is_masked, seq_pred, seq)
+
+            def remask(seq):
+                n_elem = jnp.sum(~known_user, axis=1)
+                topk = jnp.maximum((n_elem * ratio).astype(jnp.int32), 1)
+                unconf, _ = batch_topk_mask(-conf, topk, mask=is_masked)
+                return jnp.where(unconf, mask_id, seq)
+
+            seq = jax.lax.cond(t < T_steps - 1, remask, lambda s: s, seq)
+            seq = jnp.where(known_user, seq_user, seq)
+            return seq, key
+
+        seq, _ = jax.lax.fori_loop(0, T_steps, body, (seq0, key))
+        return seq

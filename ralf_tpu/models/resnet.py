@@ -142,22 +142,44 @@ class ResNetTrunk(nn.Module):
 
 
 class ResNetFPNEncoder(nn.Module):
-    """The reference ResnetBackbone 'transformer' head: trunk + mini-FPN
-    projecting to a [B, H/16, W/16, d_model] map (`common/image.py:79-120`)."""
+    """Trunk + mini-FPN projecting to a [B, H/16, W/16, d_model] map.
+
+    Two reference variants share this module:
+      * fpn_style='ralf' — ResnetBackbone's transformer head
+        (`common/image.py:79-120`): 256-ch laterals, nearest upsample,
+        concat(512) -> 1x1 proj to d_model; no input normalization.
+      * fpn_style='cgl' — ImageFeatureExtractor (`common/image.py:182-231`,
+        used by CGL-GAN / MaskGIT / LayoutDM / ICVT): d/2-ch laterals,
+        bilinear upsample, concat -> d channels directly; ImageNet
+        normalization on the RGB channels.
+    """
 
     backbone: str = "resnet50"
     d_model: int = 256
     normalize_rgb: bool = False
+    fpn_style: str = "ralf"  # "ralf" | "cgl"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
         """img: [B, H, W, 4] in [0, 1] (RGB + saliency)."""
-        if self.normalize_rgb:
+        if self.normalize_rgb or self.fpn_style == "cgl":
             mean = jnp.asarray(IMAGENET_MEAN + (0.0,), img.dtype)
             std = jnp.asarray(IMAGENET_STD + (1.0,), img.dtype)
             img = (img - mean) / std
         f3, f4 = ResNetTrunk(self.backbone, dtype=self.dtype, name="trunk")(img, train)
+        if self.fpn_style == "cgl":
+            half = self.d_model // 2
+            f_up = jax.image.resize(
+                nn.Conv(half, (1, 1), dtype=self.dtype, name="conv11")(f4),
+                (f4.shape[0],) + f3.shape[1:3] + (half,),
+                method="bilinear",
+            )
+            lateral = nn.Conv(half, (1, 1), dtype=self.dtype, name="conv22")(f3)
+            fused = nn.Conv(half, (1, 1), dtype=self.dtype, name="conv33")(
+                f_up + lateral
+            )
+            return jnp.concatenate([f_up, fused], axis=-1)  # [.., d_model]
         f4p = nn.Conv(256, (1, 1), dtype=self.dtype, name="fpn_conv11_4")(f3)
         f5p = nn.Conv(256, (1, 1), dtype=self.dtype, name="fpn_conv11_5")(f4)
         f5up = jax.image.resize(
@@ -184,6 +206,7 @@ class ImageEncoder(nn.Module):
     dim_feedforward: int = 1024
     dropout: float = 0.1
     normalize_rgb: bool = False
+    fpn_style: str = "ralf"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -192,7 +215,8 @@ class ImageEncoder(nn.Module):
         from ralf_tpu.models.positional import PositionEmbeddingSine2D
 
         fmap = ResNetFPNEncoder(
-            self.backbone, self.d_model, self.normalize_rgb, self.dtype, name="extractor"
+            self.backbone, self.d_model, self.normalize_rgb, self.fpn_style,
+            self.dtype, name="extractor"
         )(img, train)
         h = PositionEmbeddingSine2D(self.d_model, name="pos_2d")(fmap)
         h = TransformerEncoder(
