@@ -1,0 +1,162 @@
+"""Evaluation entry point.
+
+Reference equivalent: `python eval.py --input-dir <generated_samples_*>`
+(`eval.py:184-542`): consumes the inference pickles, computes the
+validity filter, the six heuristic metric families, layout-FID + prdc
+against the GT split features, averages over seeds, and writes
+`scores_all.json` + a paste-friendly `scores_all.txt`.
+
+    python -m ralf_tpu.cli.evaluate --input-dir tmp/jobs/.../generated_samples_uncond \
+        --job-dir tmp/jobs/... [--fidnet-dir tmp/fidnet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import pickle
+
+import numpy as np
+
+
+def records_to_layout(records: list[dict], S: int):
+    import jax.numpy as jnp
+
+    from ralf_tpu.core.layout import Layout
+
+    B = len(records)
+    arrs = {k: np.zeros((B, S), np.float32)
+            for k in ("center_x", "center_y", "width", "height")}
+    label = np.zeros((B, S), np.int64)
+    mask = np.zeros((B, S), bool)
+    for i, r in enumerate(records):
+        n = min(len(r["label"]), S)
+        label[i, :n] = r["label"][:n]
+        mask[i, :n] = True
+        for k in arrs:
+            arrs[k][i, :n] = r[k][:n]
+    return Layout(label=jnp.asarray(label), mask=jnp.asarray(mask),
+                  **{k: jnp.asarray(v) for k, v in arrs.items()})
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--input-dir", required=True)
+    p.add_argument("--job-dir", default=None)
+    p.add_argument("--split", default="test")
+    p.add_argument("--fidnet-dir", default=None,
+                   help="trained FIDNet checkpoint dir (fid_train CLI)")
+    args = p.parse_args()
+
+    import jax
+
+    from ralf_tpu.config import FrameworkConfig, build_datasets
+    from ralf_tpu.data.dataset import BatchLoader
+    from ralf_tpu.eval.metrics import (
+        compute_alignment,
+        compute_generative_model_scores,
+        compute_overlap,
+        compute_overlay,
+        compute_saliency_aware_metrics,
+        compute_underlay_effectiveness,
+        compute_validity,
+        nanmean,
+    )
+    from ralf_tpu.models.fidnet import FIDNetV3
+
+    job_dir = args.job_dir or os.path.dirname(args.input_dir.rstrip("/"))
+    cfg = FrameworkConfig.load(job_dir)
+    S = cfg.dataset.max_seq_length
+    names = list(cfg.dataset.label_names)
+    text_id = names.index("text") if "text" in names else 0
+    underlay_id = names.index("underlay") if "underlay" in names else len(names) - 1
+
+    train_ds, val_ds, test_ds = build_datasets(cfg)
+    ds = {"val": val_ds, "test": test_ds}[args.split]
+    idx = np.arange(len(ds))
+    gt_layout = records_to_layout(_gt_records(ds, idx), S)
+    images = ds.get_images(idx)
+
+    # FIDNet features (trained checkpoint when available, else random —
+    # relative comparisons remain possible, absolute FID needs training)
+    fidnet = FIDNetV3(num_labels=len(names), max_bbox=S)
+    if args.fidnet_dir:
+        from ralf_tpu.train.fid_trainer import FIDNetTrainer
+
+        t = FIDNetTrainer(len(names), S, job_dir=args.fidnet_dir)
+        fid_params = t.load()
+    else:
+        from ralf_tpu.core.layout import random_layout
+
+        fid_params = fidnet.init(
+            jax.random.PRNGKey(0), random_layout(np.random.default_rng(0), 2, S, len(names))
+        )["params"]
+        logging.warning("no --fidnet-dir: FID uses an UNTRAINED extractor")
+
+    feat_fn = jax.jit(
+        lambda lay: fidnet.apply({"params": fid_params}, lay,
+                                 method=FIDNetV3.extract_features)
+    )
+    gt_feats = np.asarray(feat_fn(gt_layout))
+
+    all_scores = []
+    for pkl_path in sorted(glob.glob(os.path.join(args.input_dir, f"{args.split}_*.pkl"))):
+        if pkl_path.endswith("_violation.pkl"):
+            continue
+        with open(pkl_path, "rb") as f:
+            data = pickle.load(f)
+        layout = records_to_layout(data["results"], S)
+        layout, validity = compute_validity(layout)
+        B = layout.label.shape[0]
+        img = images[:B]
+
+        scores = {"validity": float(validity)}
+        scores["alignment-LayoutGAN++"] = nanmean(compute_alignment(layout))
+        scores["overlap-LayoutGAN++"] = nanmean(compute_overlap(layout))
+        scores["overlay"] = nanmean(compute_overlay(layout, underlay_id))
+        ue = compute_underlay_effectiveness(layout, underlay_id)
+        scores["underlay_effectiveness_loose"] = nanmean(ue["underlay_effectiveness_loose"])
+        scores["underlay_effectiveness_strict"] = nanmean(ue["underlay_effectiveness_strict"])
+        sal = compute_saliency_aware_metrics(
+            layout, np.asarray(img, np.float32), text_id, underlay_id
+        )
+        for k, v in sal.items():
+            scores[k] = nanmean(v)
+        feats = np.asarray(feat_fn(layout))
+        scores.update(compute_generative_model_scores(gt_feats, feats))
+        all_scores.append(scores)
+        logging.info("%s: %s", os.path.basename(pkl_path),
+                     {k: round(v, 4) for k, v in scores.items()})
+
+    # 3-seed mean +- std protocol (`eval.py:91-122`)
+    keys = all_scores[0].keys()
+    agg = {k: {"mean": float(np.mean([s[k] for s in all_scores])),
+               "std": float(np.std([s[k] for s in all_scores]))} for k in keys}
+    out_json = os.path.join(args.input_dir, "scores_all.json")
+    with open(out_json, "w") as f:
+        json.dump(agg, f, indent=2)
+    with open(os.path.join(args.input_dir, "scores_all.txt"), "w") as f:
+        f.write("\t".join(keys) + "\n")
+        f.write("\t".join(f"{agg[k]['mean']:.4f}±{agg[k]['std']:.4f}" for k in keys) + "\n")
+    print(json.dumps(agg, indent=2))
+
+
+def _gt_records(ds, idx):
+    lay = ds.get_layouts(idx)
+    out = []
+    for i in range(len(idx)):
+        m = lay["mask"][i]
+        out.append({
+            "label": lay["label"][i][m].tolist(),
+            **{k: lay[k][i][m].tolist() for k in
+               ("center_x", "center_y", "width", "height")},
+        })
+    return out
+
+
+if __name__ == "__main__":
+    main()

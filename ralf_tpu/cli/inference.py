@@ -1,0 +1,180 @@
+"""Batch inference entry point.
+
+Reference equivalent: `python -m image2layout.train.inference job_dir=...`
+(`image2layout/train/inference.py`) plus its single-canvas and
+unannotated-split variants (`inference_single_data.py`,
+`inference_unanno.py`) behind flags:
+
+    python -m ralf_tpu.cli.inference --job-dir tmp/jobs/ralf_pku \
+        --cond uncond --split test --num-seeds 3
+    python -m ralf_tpu.cli.inference --job-dir ... --single-image img.png
+    python -m ralf_tpu.cli.inference --job-dir ... --unannotated
+
+Writes per (split, seed): `{split}_{seed}.pkl` (results list of
+per-sample layout dicts), `{split}_{seed}_violation.csv`, and the
+"ms per sample" timing line the reference prints (`inference.py:495`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import logging
+import os
+import pickle
+import time
+
+import numpy as np
+
+
+def layout_to_records(layout, ids) -> list[dict]:
+    out = []
+    lab = np.asarray(layout.label)
+    mask = np.asarray(layout.mask)
+    geos = {k: np.asarray(layout.geo(k)) for k in
+            ("center_x", "center_y", "width", "height")}
+    for b in range(lab.shape[0]):
+        m = mask[b]
+        rec = {"id": ids[b] if ids is not None else b,
+               "label": lab[b][m].tolist()}
+        for k, v in geos.items():
+            rec[k] = v[b][m].tolist()
+        out.append(rec)
+    return out
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--job-dir", required=True)
+    p.add_argument("--ckpt", default="final")
+    p.add_argument("--cond", default="uncond",
+                   choices=["uncond", "c", "cwh", "partial", "refinement",
+                            "relation", "gt"])
+    p.add_argument("--split", default="test", choices=["val", "test"])
+    p.add_argument("--num-seeds", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--single-image", default=None,
+                   help="run on one canvas (inference_single_data equivalent)")
+    p.add_argument("--unannotated", action="store_true",
+                   help="no-GT split (inference_unanno equivalent)")
+    p.add_argument("--out-dir", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    from ralf_tpu.config import (
+        FrameworkConfig,
+        build_datasets,
+        build_generator,
+        build_tokenizer,
+    )
+    from ralf_tpu.core.sampling import SamplingConfig
+    from ralf_tpu.data.dataset import BatchLoader
+    from ralf_tpu.eval.violations import calculate_violation
+
+    cfg = FrameworkConfig.load(args.job_dir)
+    num_seeds = args.num_seeds or cfg.num_seeds
+    out_dir = args.out_dir or os.path.join(
+        args.job_dir, f"generated_samples_{args.cond}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    train_ds, val_ds, test_ds = build_datasets(cfg)
+    ds = {"val": val_ds, "test": test_ds}[args.split]
+    tokenizer = build_tokenizer(cfg)
+    gen = build_generator(cfg, tokenizer)
+
+    # restore the trained params
+    from ralf_tpu.train.trainer import TrainConfig, Trainer
+
+    trainer = Trainer(gen, cfg.train)
+    state = trainer.restore(args.ckpt)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    loader = BatchLoader(ds, args.batch_size, shuffle=False,
+                         transforms=cfg.transforms, drop_last=False,
+                         seed=0)
+    needs_retrieval = cfg.experiment == "ralf" or cfg.generator_kwargs.get(
+        "with_retrieval"
+    )
+    if needs_retrieval:
+        from ralf_tpu.retrieval.retriever import Retriever
+        from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
+
+        retriever = Retriever.build(train_ds)
+        loader = RetrievalAugmentedLoader(
+            loader, retriever, cfg.generator_kwargs.get("top_k", 16)
+        )
+
+    if args.single_image:
+        img = _load_single_image(args.single_image, cfg)
+        batches = [{"layout": next(iter(loader))["layout"], "image": img,
+                    "id": np.asarray([0])}]
+    else:
+        batches = list(loader)
+
+    sampling = cfg.sampling
+    is_token_model = tokenizer is not None
+
+    for seed in range(num_seeds):
+        pkl_path = os.path.join(out_dir, f"{args.split}_{seed}.pkl")
+        if os.path.exists(pkl_path):
+            logging.info("skip existing %s", pkl_path)  # resume (`inference.py:364`)
+            continue
+        rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        results, violations = [], {"total": 0, "viorated": 0}
+        t_total, n_total = 0.0, 0
+        for batch in batches:
+            t0 = time.perf_counter()
+            if is_token_model:
+                cond, _ = gen.build_condition(batch, rng, task=args.cond) \
+                    if hasattr(gen, "build_condition") else (None, None)
+                out = gen.sample(variables, cond, sampling,
+                                 jax.random.fold_in(key, len(results)),
+                                 return_tokens=True)
+                layout, seq = out if isinstance(out, tuple) else (out, None)
+                jax.block_until_ready(layout.label)
+                if seq is not None and cond is not None:
+                    v = calculate_violation(cond, np.asarray(seq), layout, tokenizer)
+                    violations["total"] += v["total"]
+                    violations["viorated"] += v["viorated"]
+            else:
+                layout = gen.sample(variables, batch, rng)
+                jax.block_until_ready(layout.label)
+            t_total += time.perf_counter() - t0
+            n_total += np.asarray(layout.label).shape[0]
+            results.extend(layout_to_records(layout, batch.get("id")))
+
+        with open(pkl_path, "wb") as f:
+            pickle.dump({"results": results, "cond": args.cond,
+                         "split": args.split, "seed": seed}, f)
+        with open(os.path.join(out_dir, f"{args.split}_{seed}_violation.csv"),
+                  "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["total", "viorated", "rate"])
+            rate = violations["viorated"] / max(violations["total"], 1)
+            w.writerow([violations["total"], violations["viorated"], rate])
+        ms = 1000.0 * t_total / max(n_total, 1)
+        print(f"seed {seed}: {ms:.3f} ms per sample "
+              f"({n_total / max(t_total, 1e-9):.1f} layouts/sec)")
+    print(f"wrote {out_dir}")
+
+
+def _load_single_image(path: str, cfg) -> np.ndarray:
+    """Load + resize one canvas; saliency falls back to a center prior when
+    no saliency model weights are available."""
+    from PIL import Image
+
+    H, W = cfg.dataset.image_h, cfg.dataset.image_w
+    img = np.asarray(
+        Image.open(path).convert("RGB").resize((W, H)), np.float32
+    ) / 255.0
+    yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W), indexing="ij")
+    sal = np.exp(-(xx**2 + yy**2) / 0.5).astype(np.float32)
+    return np.concatenate([img, sal[..., None]], -1)[None]
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Training entry point.
+
+Reference equivalent: `python -m image2layout.train.train +experiment=...`
+(`image2layout/train/train.py`).  Usage:
+
+    python -m ralf_tpu.cli.train --experiment ralf --dataset pku10 \
+        --job-dir tmp/jobs/ralf_pku --epochs 2 --synthetic \
+        train.lr=1e-4 generator_kwargs.top_k=16
+
+Dotted key=value overrides play the role of the reference's hydra
+overrides / bash task files.  GAN experiments route to the adversarial
+trainer automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--experiment", default="ralf")
+    p.add_argument("--dataset", default="pku10")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--job-dir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--task", default="uncond", help="auxiliary task")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="hermetic synthetic dataset (no parquet dumps needed)")
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args()
+
+    from ralf_tpu.config import (
+        EXPERIMENTS,
+        build_config,
+        build_datasets,
+        build_generator,
+        build_tokenizer,
+    )
+    from ralf_tpu.data.dataset import BatchLoader, DatasetConfig
+
+    cfg = build_config(args.experiment, args.overrides)
+    cfg.dataset = DatasetConfig(name=args.dataset, data_dir=args.data_dir)
+    cfg.auxiliary_task = args.task
+    cfg.debug = args.debug
+    cfg.synthetic_data = args.synthetic
+    if args.epochs:
+        cfg.train.epochs = args.epochs
+    if args.batch_size:
+        cfg.train.batch_size = args.batch_size
+    cfg.train.job_dir = args.job_dir or f"tmp/jobs/{args.experiment}_{args.dataset}_{args.task}"
+    if args.debug:
+        cfg.train.epochs = 1
+    cfg.save(cfg.train.job_dir)
+
+    train_ds, val_ds, test_ds = build_datasets(cfg)
+    tokenizer = build_tokenizer(cfg)
+    gen = build_generator(cfg, tokenizer)
+
+    train_loader = BatchLoader(train_ds, cfg.train.batch_size,
+                               transforms=cfg.transforms, seed=cfg.train.seed)
+    val_loader = BatchLoader(val_ds, cfg.train.batch_size, shuffle=False,
+                             transforms=cfg.transforms, seed=cfg.train.seed)
+
+    needs_retrieval = cfg.experiment in ("ralf",) or cfg.generator_kwargs.get(
+        "with_retrieval"
+    )
+    if needs_retrieval:
+        from ralf_tpu.retrieval.retriever import Retriever
+        from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
+
+        retriever = Retriever.build(train_ds)
+        top_k = cfg.generator_kwargs.get("top_k", 16)
+        train_loader = RetrievalAugmentedLoader(
+            train_loader, retriever, top_k, is_train_split=True
+        )
+        val_loader = RetrievalAugmentedLoader(val_loader, retriever, top_k)
+
+    cap = 2 if cfg.debug else None
+    if cfg.experiment in ("cglgan", "cglgan_ra", "dsgan", "dsgan_ra", "icvt"):
+        if cfg.experiment == "icvt":
+            from ralf_tpu.train.trainer import Trainer
+
+            trainer = Trainer(gen, cfg.train)
+            trainer.fit(train_loader, val_loader, num_steps_cap=cap)
+        else:
+            from ralf_tpu.train.gan_trainer import GANTrainer
+
+            trainer = GANTrainer(gen, cfg.train)
+            trainer.fit_gan(train_loader, num_steps_cap=cap)
+    else:
+        from ralf_tpu.train.trainer import Trainer
+
+        trainer = Trainer(gen, cfg.train)
+        trainer.fit(train_loader, val_loader, num_steps_cap=cap)
+    print(f"done: {cfg.train.job_dir}")
+
+
+if __name__ == "__main__":
+    main()

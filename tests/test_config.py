@@ -1,0 +1,58 @@
+"""Config presets, overrides, serialization roundtrip, generator factory."""
+
+import numpy as np
+import pytest
+
+from ralf_tpu.config import (
+    EXPERIMENTS,
+    FrameworkConfig,
+    build_config,
+    build_generator,
+    build_tokenizer,
+)
+from ralf_tpu.data.dataset import DatasetConfig
+
+
+def test_all_presets_build_tokenizers():
+    for exp in EXPERIMENTS:
+        if exp == "retriever":
+            continue
+        cfg = build_config(exp)
+        tok = build_tokenizer(cfg)
+        if EXPERIMENTS[exp]["tokenizer"] is None:
+            assert tok is None
+        else:
+            assert tok.N_total > 0
+
+
+def test_overrides():
+    cfg = build_config("ralf", ["train.lr=0.001", "generator_kwargs.top_k=8",
+                                "model.d_model=128"])
+    assert cfg.train.lr == 0.001
+    assert cfg.generator_kwargs["top_k"] == 8
+    assert cfg.model["d_model"] == 128
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = build_config("autoreg", ["train.epochs=7"])
+    cfg.dataset = DatasetConfig(name="cgl")
+    cfg.save(str(tmp_path))
+    cfg2 = FrameworkConfig.load(str(tmp_path))
+    assert cfg2.train.epochs == 7
+    assert cfg2.dataset.name == "cgl"
+    assert cfg2.dataset.num_labels == 4
+    assert tuple(cfg2.transforms) == tuple(cfg.transforms)
+
+
+@pytest.mark.parametrize("exp", ["autoreg", "maskgit", "layoutdm", "vqdiffusion",
+                                 "cglgan", "dsgan", "icvt"])
+def test_generator_factory(exp):
+    cfg = build_config(exp, ["model.d_model=40", "model.nhead=4",
+                             "model.num_encoder_layers=1",
+                             "model.num_decoder_layers=1",
+                             "model.backbone=\"resnet18\""])
+    if exp == "icvt":
+        cfg.model["d_model"] = 40
+    tok = build_tokenizer(cfg)
+    gen = build_generator(cfg, tok)
+    assert gen is not None
