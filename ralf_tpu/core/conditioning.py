@@ -89,7 +89,8 @@ class Condition:
     const_mask: Optional[np.ndarray] = None  # [B, Lc] bool, True = valid
     retrieved: Optional[dict] = None  # retrieval arrays (RALF)
     edges: Optional[dict] = None  # relation bitmask edges
-    relations: Optional[list] = None  # relation clause lists (for violation)
+    relations: Optional[list] = None  # all relation clauses (precompute table)
+    sampled_relations: Optional[list] = None  # the clauses actually conditioned on
     ids: Optional[np.ndarray] = None
 
 
@@ -316,9 +317,11 @@ def build_constraint_sequence(
             body.append(vocab.id("relation_sep"))
             rels = cond.relations[b] if cond.relations else []
             n_sample = max(len(rels) * RELATION_SIZE // 100, 1)
+            if cond.sampled_relations is None:
+                cond.sampled_relations = [[] for _ in range(B)]
             if len(rels) > 0:
                 chosen = [rels[i] for i in rng.permutation(len(rels))[:n_sample]]
-                letter_of = {}  # letter char -> letter index
+                cond.sampled_relations[b] = chosen
                 for ci, clause in enumerate(chosen):
                     la, ea, rel, lb, eb = clause
                     toks = [

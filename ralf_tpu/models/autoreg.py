@@ -294,9 +294,26 @@ class AutoregGenerator:
         )
 
     def sample(self, variables, cond: Condition, sampling: SamplingConfig,
-               key: jax.Array, return_tokens: bool = False):
+               key: jax.Array, return_tokens: bool = False,
+               use_backtrack: bool = True, max_retries: int = 4):
         memory = self.encode_memory(variables, cond)
         forced = build_forced_tokens(cond, self.tokenizer)
-        seq = self.decode(variables, memory, forced, sampling, key)
+        if normalize_task(cond.task) == "relation" and use_backtrack:
+            # batched on-device backtracking (`autoreg.py:128-134` routes
+            # relation+backtrack to the constrained sampler)
+            from ralf_tpu.ops.relation_decode import (
+                build_relation_tensors,
+                relation_aware_decode,
+            )
+
+            tensors = build_relation_tensors(cond, self.tokenizer.max_seq_length)
+            dec_vars = {"params": variables["params"]["decoder"]}
+            seq = relation_aware_decode(
+                self.decoder_module, dec_vars, memory, self.tokenizer,
+                jnp.asarray(forced), tensors, sampling, key,
+                max_retries=max_retries,
+            )
+        else:
+            seq = self.decode(variables, memory, forced, sampling, key)
         layout = self.tokenizer.decode(seq)
         return (layout, seq) if return_tokens else layout

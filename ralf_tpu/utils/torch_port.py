@@ -1,0 +1,193 @@
+"""Torch state_dict -> flax parameter-tree converters.
+
+The reference's frozen towers are pretrained torch models (torchvision/
+timm ResNet50 IMAGENET1K_V2, trained FIDNetV3 checkpoints, DreamSim —
+SURVEY §2.9).  FID parity is hypersensitive to these weights (SURVEY §7
+"hard parts" #1), so the rebuild ports them tensor-by-tensor instead of
+retraining.  This module converts:
+
+  * torch nn.MultiheadAttention / TransformerEncoder(Decoder)Layer stacks
+    -> ralf_tpu.models.nn trees (in_proj split into q/k/v, transposes)
+  * the reference FIDNetV3 (`train/fid/model.py`) -> models.fidnet.FIDNetV3
+  * torchvision/timm ResNet state_dicts -> models.resnet.ResNetTrunk
+    (incl. the 4-channel stem extension: mean of RGB kernels appended,
+    `common/image.py:69-77`)
+  * the reference BaseDecoder (`common/common.py:13-135`) -> TokenDecoder
+
+All inputs are {name: np.ndarray}; call `numpy_state_dict(torch_module)`
+to detach a live torch module.  Numerical parity is asserted by
+tests/test_torch_parity.py against the reference implementations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def numpy_state_dict(torch_module) -> dict[str, np.ndarray]:
+    return {k: v.detach().cpu().numpy() for k, v in torch_module.state_dict().items()}
+
+
+def _dense(sd: dict, prefix: str) -> dict:
+    out = {"kernel": sd[f"{prefix}.weight"].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _layernorm(sd: dict, prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def port_mha(sd: dict, prefix: str) -> dict:
+    """torch nn.MultiheadAttention -> models.nn.MultiHeadAttention."""
+    w = sd[f"{prefix}.in_proj_weight"]  # [3D, D]
+    b = sd[f"{prefix}.in_proj_bias"]
+    D = w.shape[1]
+    q_w, k_w, v_w = w[:D], w[D : 2 * D], w[2 * D :]
+    q_b, k_b, v_b = b[:D], b[D : 2 * D], b[2 * D :]
+    return {
+        "q_proj": {"kernel": q_w.T, "bias": q_b},
+        "k_proj": {"kernel": k_w.T, "bias": k_b},
+        "v_proj": {"kernel": v_w.T, "bias": v_b},
+        "out_proj": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def port_encoder_layer(sd: dict, prefix: str) -> dict:
+    """torch nn.TransformerEncoderLayer -> models.nn.TransformerEncoderLayer."""
+    return {
+        "self_attn": port_mha(sd, f"{prefix}.self_attn"),
+        "ffn": {
+            "Dense_0": _dense(sd, f"{prefix}.linear1"),
+            "Dense_1": _dense(sd, f"{prefix}.linear2"),
+        },
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+    }
+
+
+def port_decoder_layer(sd: dict, prefix: str) -> dict:
+    """torch nn.TransformerDecoderLayer -> models.nn.TransformerDecoderLayer."""
+    return {
+        "self_attn": port_mha(sd, f"{prefix}.self_attn"),
+        "cross_attn": port_mha(sd, f"{prefix}.multihead_attn"),
+        "ffn": {
+            "Dense_0": _dense(sd, f"{prefix}.linear1"),
+            "Dense_1": _dense(sd, f"{prefix}.linear2"),
+        },
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+        "norm3": _layernorm(sd, f"{prefix}.norm3"),
+    }
+
+
+def port_encoder_stack(sd: dict, prefix: str, num_layers: int) -> dict:
+    return {
+        f"layer_{i}": port_encoder_layer(sd, f"{prefix}.layers.{i}")
+        for i in range(num_layers)
+    }
+
+
+def port_fidnet(sd: dict, num_layers: int = 4) -> dict:
+    """Reference FIDNetV3 state_dict -> models.fidnet.FIDNetV3 params."""
+    return {
+        "emb_label": {"embedding": sd["emb_label.weight"]},
+        "fc_bbox": _dense(sd, "fc_bbox"),
+        "enc_fc_in": _dense(sd, "enc_fc_in"),
+        "cls_token": sd["enc_transformer.token"].transpose(1, 0, 2),
+        "enc_transformer": port_encoder_stack(
+            sd, "enc_transformer.core", num_layers
+        ),
+        "fc_out_disc": _dense(sd, "fc_out_disc"),
+        "pos_token": sd["pos_token"],
+        "dec_fc_in": _dense(sd, "dec_fc_in"),
+        "dec_transformer": port_encoder_stack(sd, "dec_transformer", num_layers),
+        "fc_out_cls": _dense(sd, "fc_out_cls"),
+        "fc_out_bbox": _dense(sd, "fc_out_bbox"),
+    }
+
+
+def port_token_decoder(sd: dict, num_layers: int) -> dict:
+    """Reference BaseDecoder state_dict -> models.nn.TokenDecoder params."""
+    return {
+        "emb": {"embedding": sd["emb.weight"]},
+        "stack": {
+            f"layer_{i}": port_decoder_layer(sd, f"transformer.layers.{i}")
+            for i in range(num_layers)
+        },
+        "head_norm": _layernorm(sd, "head.0"),
+        "head_out": {"kernel": sd["head.1.weight"].T},
+    }
+
+
+# --------------------------------------------------------------------------
+# ResNet trunks (torchvision / timm names)
+# --------------------------------------------------------------------------
+
+_BLOCK_DEPTHS = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
+
+
+def _conv(sd: dict, name: str) -> dict:
+    return {"kernel": sd[f"{name}.weight"].transpose(2, 3, 1, 0)}
+
+
+def _bn(sd: dict, name: str) -> tuple[dict, dict]:
+    params = {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+    stats = {"mean": sd[f"{name}.running_mean"], "var": sd[f"{name}.running_var"]}
+    return params, stats
+
+
+def port_resnet_trunk(sd: dict, backbone: str = "resnet50",
+                      in_channels: int = 4) -> tuple[dict, dict]:
+    """torchvision/timm ResNet state_dict -> (params, batch_stats) for
+    models.resnet.ResNetTrunk.  The 3-channel stem is widened to
+    `in_channels` by appending the mean RGB kernel (`common/image.py:74-76`).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    w = sd["conv1.weight"]  # [64, 3, 7, 7]
+    if in_channels > w.shape[1]:
+        extra = w.mean(axis=1, keepdims=True)
+        extra = np.repeat(extra, in_channels - w.shape[1], axis=1)
+        w = np.concatenate([w, extra], axis=1)
+    params["conv1"] = {"kernel": w.transpose(2, 3, 1, 0)}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+
+    is_bottleneck = backbone == "resnet50"
+    for stage, depth in enumerate(_BLOCK_DEPTHS[backbone]):
+        for b in range(depth):
+            t = f"layer{stage + 1}.{b}"
+            m = f"layer{stage + 1}_{b}"
+            blk_p: dict = {}
+            blk_s: dict = {}
+            n_convs = 3 if is_bottleneck else 2
+            for ci in range(1, n_convs + 1):
+                blk_p[f"conv{ci}"] = _conv(sd, f"{t}.conv{ci}")
+                blk_p[f"bn{ci}"], blk_s[f"bn{ci}"] = _bn(sd, f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                blk_p["down_conv"] = _conv(sd, f"{t}.downsample.0")
+                blk_p["down_bn"], blk_s["down_bn"] = _bn(sd, f"{t}.downsample.1")
+            params[m] = blk_p
+            stats[m] = blk_s
+    return params, stats
+
+
+def load_pretrained_trunk_if_available(
+    path: str, backbone: str = "resnet50", in_channels: int = 4
+) -> Optional[tuple[dict, dict]]:
+    """Load a torch ResNet checkpoint file (e.g. the reference cache's
+    `resnet50_a1_0-14fe96d1.pth`) when present on disk; None otherwise —
+    zero-egress environments cannot download weights."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return port_resnet_trunk(sd, backbone, in_channels)
