@@ -230,15 +230,18 @@ class BatchLoader:
         drop_last: bool = True,
         seed: int = 0,
         with_images: bool = True,
+        use_native: bool = True,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.with_images = with_images
-        self._transform = compose(list(transforms))
+        self.transforms = list(transforms)
+        self._transform = compose(self.transforms)
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -246,6 +249,14 @@ class BatchLoader:
         return n // b if self.drop_last else (n + b - 1) // b
 
     def _apply_transforms(self, lay: dict) -> dict:
+        if self.use_native and self.transforms:
+            from ralf_tpu.data import native
+
+            out = native.collate_batch(
+                lay, self.transforms, int(self._rng.integers(2**63))
+            )
+            if out is not None:
+                return out
         B = lay["label"].shape[0]
         out = {k: v.copy() for k, v in lay.items()}
         for b in range(B):

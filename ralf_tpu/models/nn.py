@@ -47,6 +47,8 @@ class MultiHeadAttention(nn.Module):
     nhead: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    # fuse the single-query decode attention into one Pallas kernel on TPU
+    use_pallas_decode: bool = True
 
     def setup(self) -> None:
         assert self.d_model % self.nhead == 0
@@ -87,6 +89,16 @@ class MultiHeadAttention(nn.Module):
     ) -> jax.Array:
         """Single-query attention against transposed caches -> [B, 1, D]."""
         q = self._split(self.q_proj(q_in))[:, 0]  # [B, H, Dh]
+        B = q_in.shape[0]
+        if bias is None and self.use_pallas_decode:
+            from ralf_tpu.ops.pallas.decode_attention import (
+                fused_decode_attention,
+                pallas_decode_available,
+            )
+
+            if pallas_decode_available():
+                out = fused_decode_attention(q.astype(self.dtype), k_t, v_t)
+                return self.out_proj(out.reshape(B, 1, self.d_model))
         scale = jnp.asarray(self.head_dim, self.dtype) ** -0.5
         logits = jnp.einsum(
             "bhd,bhdm->bhm", q * scale, k_t, preferred_element_type=jnp.float32
@@ -95,7 +107,6 @@ class MultiHeadAttention(nn.Module):
             logits = logits + bias.astype(logits.dtype)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhm,bhdm->bhd", probs, v_t)
-        B = q_in.shape[0]
         return self.out_proj(out.reshape(B, 1, self.d_model))
 
     def attend(

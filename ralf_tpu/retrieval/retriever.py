@@ -180,6 +180,11 @@ class Retriever:
 
     def gather_neighbors(self, idx: np.ndarray) -> dict:
         """[B, K] gallery indices -> {'label': [B,K,S], ..., 'mask': [B,K,S]}."""
+        from ralf_tpu.data import native
+
+        out = native.gather_neighbors(self.layouts, np.asarray(idx))
+        if out is not None:
+            return out
         return {key: arr[idx] for key, arr in self.layouts.items()}
 
     def predict_top1(self, images: np.ndarray) -> Layout:
