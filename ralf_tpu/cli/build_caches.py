@@ -1,0 +1,122 @@
+"""Offline cache builders: retrieval tables, k-means token vocabularies,
+relationship tables.
+
+Reference equivalents:
+  * `preprocess/build_retrieval_indexes.py` (+_LPIPS/_cross_dataset) and
+    `preprocess/rerank_indexes.py` — faiss index + per-split top-k tables
+  * `preprocess/save_clustering_coordinates.py` — sklearn k-means centers
+    per geometry key for the adaptive (kmeans) tokenizer
+  * `preprocess/precompute_relationship.py` — full pairwise relation
+    clause table per sample
+
+    python -m ralf_tpu.cli.build_caches --what retrieval|clusters|relationships \
+        --dataset pku10 [--data-dir ...] [--synthetic] --cache-dir cache/
+
+Artifacts go to `{cache_dir}` with names mirroring the reference's cache
+conventions so jobs can address them the same way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pickle
+
+import numpy as np
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--what", choices=["retrieval", "clusters", "relationships"],
+                   required=True)
+    p.add_argument("--dataset", default="pku10")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--cache-dir", default="cache")
+    p.add_argument("--top-k", type=int, default=32)
+    p.add_argument("--backbone", default="saliency")
+    p.add_argument("--rerank", choices=["none", "mmr", "random"], default="none")
+    p.add_argument("--cross-dataset-dir", default=None,
+                   help="gallery from another dataset (cross-dataset study)")
+    args = p.parse_args()
+
+    from ralf_tpu.config import FrameworkConfig, build_datasets
+    from ralf_tpu.data.dataset import DatasetConfig
+
+    cfg = FrameworkConfig(
+        dataset=DatasetConfig(name=args.dataset, data_dir=args.data_dir),
+        synthetic_data=args.synthetic,
+    )
+    train_ds, val_ds, test_ds = build_datasets(cfg)
+    os.makedirs(args.cache_dir, exist_ok=True)
+
+    if args.what == "retrieval":
+        from ralf_tpu.retrieval.retriever import Retriever, mmr_rerank
+
+        gallery_ds = train_ds
+        if args.cross_dataset_dir:
+            other = FrameworkConfig(
+                dataset=DatasetConfig(
+                    name="cgl" if "pku" in args.dataset else "pku10",
+                    data_dir=args.cross_dataset_dir,
+                )
+            )
+            gallery_ds, _, _ = build_datasets(other)
+        retriever = Retriever.build(gallery_ds, args.backbone)
+        for split, ds in (("train", train_ds), ("val", val_ds), ("test", test_ds)):
+            table = retriever.precompute_table(
+                ds, args.top_k,
+                is_train_split=(split == "train" and not args.cross_dataset_dir),
+            )
+            if args.rerank == "mmr":
+                feats = np.asarray(retriever.features)
+                # rerank per batch to bound memory
+                out = np.zeros_like(table[:, : args.top_k // 2])
+                for s in range(0, len(ds), 256):
+                    idx = np.arange(s, min(s + 256, len(ds)))
+                    qf = np.asarray(retriever.embed(ds.get_images(idx)))
+                    out[idx] = mmr_rerank(feats, table[idx], qf, args.top_k // 2)
+                table = out
+            name = (f"{args.dataset}_{split}_{args.backbone}_wo_head_table_"
+                    f"between_dataset_indexes_top_k{args.top_k}.npz")
+            np.savez(os.path.join(args.cache_dir, name), table=table)
+            logging.info("%s: table %s", split, table.shape)
+
+    elif args.what == "clusters":
+        from ralf_tpu.core.bucketizer import fit_kmeans_1d
+        from ralf_tpu.core.layout import GEO_KEYS
+
+        lay = train_ds.get_layouts(np.arange(len(train_ds)))
+        mask = lay["mask"]
+        weights = {}
+        for key in GEO_KEYS:
+            vals = lay[key][mask]
+            for n in [2**i for i in range(1, 9)]:
+                weights[f"{key}-{n}"] = fit_kmeans_1d(vals, n)
+        name = f"{args.dataset}_kmeans_train_clusters.pkl"
+        with open(os.path.join(args.cache_dir, name), "wb") as f:
+            pickle.dump(weights, f)
+        logging.info("wrote %s (%d entries)", name, len(weights))
+
+    else:  # relationships
+        from ralf_tpu.core.layout import Layout
+        from ralf_tpu.core.relationships import describe_relationships
+
+        table = {}
+        for ds, split in ((train_ds, "train"), (val_ds, "val"), (test_ds, "test")):
+            idx = np.arange(len(ds))
+            lay = Layout.fromdict(ds.get_layouts(idx))
+            rels = describe_relationships(lay)
+            ids = ds.get_ids(idx)
+            for i, r in zip(ids, rels):
+                table[str(i)] = r
+        name = f"{args.dataset}_relationships_dic.pkl"
+        with open(os.path.join(args.cache_dir, name), "wb") as f:
+            pickle.dump(table, f)
+        logging.info("wrote %s (%d samples)", name, len(table))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,10 @@ class TrainConfig:
     job_dir: str = "tmp/jobs/default"
     save_every_epochs: int = 0  # 0 = only final/best
     log_every_steps: int = 50
+    # jax.profiler trace of train steps [profile_start, profile_stop) into
+    # job_dir/profile — the first-class runtime visibility the reference
+    # lacks (SURVEY §5: torch-tb-profiler declared but never imported)
+    profile_steps: Optional[tuple] = None
 
 
 class Trainer:
@@ -167,14 +171,22 @@ class Trainer:
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.time()
             losses = []
+            prof = self.cfg.profile_steps
             for i, batch in enumerate(train_loader):
                 if num_steps_cap and i >= num_steps_cap:
                     break
+                if prof and epoch == 1 and i == prof[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.job_dir, "profile")
+                    )
                 inputs, targets = self.gen.preprocess(batch, rng)
                 inputs, targets = self._device_batch(inputs, targets)
                 key, sub = jax.random.split(key)
                 state, metrics = self._train_step(state, inputs, targets, sub)
                 losses.append(metrics["loss"])
+                if prof and epoch == 1 and i == prof[1]:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
                 if cfg.log_every_steps and (i % cfg.log_every_steps == 0):
                     logger.info(
                         "epoch %d step %d loss %.4f", epoch, i, float(metrics["loss"])
