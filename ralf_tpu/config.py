@@ -213,6 +213,11 @@ def build_generator(cfg: FrameworkConfig, tokenizer=None):
         return ICVTGenerator(cfg.dataset.num_labels, gcfg,
                              max_seq_length=cfg.dataset.max_seq_length,
                              image_hw=hw, **kw)
+    if name == "retriever":
+        from ralf_tpu.models.retriever_baseline import RetrieverGenerator
+
+        train_ds, _, _ = build_datasets(cfg)
+        return RetrieverGenerator.build(train_ds, **kw)
     raise ValueError(f"unknown generator: {name}")
 
 

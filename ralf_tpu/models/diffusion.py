@@ -339,6 +339,9 @@ class MaskAndReplaceDiffusion:
         weak_mask: Optional[jax.Array] = None,  # [B, L, V]
         weak_logits: Optional[jax.Array] = None,  # [B, L, V]
         pad_disable_mask: Optional[jax.Array] = None,  # [B, L] bool
+        relation_edges: Optional[tuple] = None,  # (edge_idx, edge_attr)
+        relation_lambda: float = 1.0,
+        relation_num_update: int = 3,
     ) -> jax.Array:
         x_t = log_onehot_to_index(log_z)
         log_x_recon = self.predict_start(model_logits_fn(x_t, t))
@@ -353,6 +356,13 @@ class MaskAndReplaceDiffusion:
         if weak_logits is not None:
             model_log_prob = jnp.where(
                 weak_mask, model_log_prob + weak_logits, model_log_prob
+            )
+        if relation_edges is not None:
+            from ralf_tpu.ops.relation_costs import update_logits_for_relation
+
+            model_log_prob = update_logits_for_relation(
+                model_log_prob, t, relation_edges[0], relation_edges[1],
+                self.tokenizer, relation_lambda, relation_num_update,
             )
         if pad_disable_mask is not None:
             pad_id = self.tokenizer.pad_id
@@ -635,7 +645,8 @@ class LayoutDMGenerator:
                key: jax.Array, return_tokens: bool = False,
                num_timesteps_eval: Optional[int] = None,
                refine_lambda: float = 3.0, refine_mode: str = "uniform",
-               refine_offset_ratio: float = 0.2):
+               refine_offset_ratio: float = 0.2,
+               relation_lambda: float = 1.0, relation_num_update: int = 3):
         tok = self.tokenizer
         V, L = tok.N_total, tok.max_token_length
         B = np.asarray(cond.image).shape[0]
@@ -663,6 +674,13 @@ class LayoutDMGenerator:
                 cond, refine_lambda, refine_mode, refine_offset_ratio
             )
 
+        relation_edges = None
+        if task == "relation" and cond.edges is not None:
+            relation_edges = (
+                jnp.asarray(cond.edges["edge_indexes"]),
+                jnp.asarray(cond.edges["edge_attributes"]),
+            )
+
         pad_disable = None
         if task in ("c", "cwh", "refinement", "relation") and cond.seq is not None:
             C = tok.N_var_per_element
@@ -687,7 +705,8 @@ class LayoutDMGenerator:
             log_z = self.diffusion.sample_single_step(
                 sub, log_z, logits_fn, jnp.full((B,), t_i, jnp.int32), skip_i,
                 sampling, strong_seq, strong_mask, weak_mask, weak_logits,
-                pad_disable,
+                pad_disable, relation_edges, relation_lambda,
+                relation_num_update,
             )
             return (log_z, key), None
 
