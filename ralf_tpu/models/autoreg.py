@@ -169,7 +169,12 @@ def smoothed_ce_loss(
 class AutoregGenerator:
     """Generator-protocol wrapper: host-side conditioning + jittable core."""
 
-    # the auxiliary task this job trains with (`autoreg.py:432-464`)
+    # the auxiliary task this job trains with (`autoreg.py:432-464`);
+    # 'multitask' samples a task per batch with the LayoutFormer++ weights
+    # (`autoreg.py:506-520`)
+    MULTITASK_CHOICES = ("uncond", "c", "cwh", "partial", "refinement", "relation")
+    MULTITASK_WEIGHTS = (1 / 12, 1 / 3, 1 / 3, 1 / 12, 1 / 3, 1 / 12)
+
     def __init__(
         self,
         tokenizer: LayoutSequenceTokenizer,
@@ -179,6 +184,9 @@ class AutoregGenerator:
     ) -> None:
         self.tokenizer = tokenizer
         self.cfg = cfg
+        self.multitask = auxiliary_task == "multitask"
+        if self.multitask:
+            auxiliary_task = "uncond"
         self.task = normalize_task(auxiliary_task)
         self.vocab = ConstraintVocabulary(tokenizer)
         self.image_hw = image_hw
@@ -225,6 +233,9 @@ class AutoregGenerator:
         self, batch: dict, rng: np.random.Generator, task: Optional[str] = None
     ) -> tuple[Condition, Layout]:
         """batch: {'layout': Layout, 'image': [B,H,W,4], optional 'id'}."""
+        if task is None and self.multitask:
+            w = np.asarray(self.MULTITASK_WEIGHTS)
+            task = rng.choice(self.MULTITASK_CHOICES, p=w / w.sum())
         task = self.task if task is None else normalize_task(task)
         cond, target = get_condition(
             batch["layout"], batch["image"], task, self.tokenizer, rng,

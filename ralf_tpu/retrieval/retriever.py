@@ -49,8 +49,44 @@ def coarse_saliency_features(images: jax.Array, grid: int = 16) -> jax.Array:
     return feat / jnp.maximum(norm, 1e-8)
 
 
+def _torch_embedder(kind: str) -> Callable:
+    """DreamSim / CLIP-ViT / VGG16 embedding backbones
+    (`train/models/retrieval/image.py:29-97`).
+
+    These are pretrained torch networks whose weights are download-only;
+    when a TorchScript export exists at cache/{kind}.pt we run it on the
+    host CPU (feature extraction is an offline, one-time stage — the
+    top-k scan itself stays on TPU).  Zero-egress environments without
+    the file get a clear error instead of silently wrong features.
+    """
+
+    def embed(images: jax.Array) -> jax.Array:
+        import os
+
+        path = f"cache/{kind}.pt"
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{kind} backbone needs its TorchScript export at {path} "
+                "(pretrained weights are not downloadable in this "
+                "environment); use backbone='saliency' instead."
+            )
+        import torch
+
+        model = torch.jit.load(path, map_location="cpu").eval()
+        x = np.asarray(images)[..., :3].transpose(0, 3, 1, 2)
+        with torch.no_grad():
+            f = model(torch.tensor(x)).numpy()
+        f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
+        return jnp.asarray(f)
+
+    return embed
+
+
 BACKBONES: dict[str, Callable] = {
     "saliency": coarse_saliency_features,
+    "dreamsim": _torch_embedder("dreamsim"),
+    "clip": _torch_embedder("clip_vit_b32"),
+    "vgg": _torch_embedder("vgg16"),
 }
 
 
@@ -149,7 +185,9 @@ class Retriever:
         batch_size: int = 256,
     ) -> "Retriever":
         """Extract gallery features for a LayoutDatasetBase."""
-        fn = jax.jit(BACKBONES[backbone])
+        fn = BACKBONES[backbone]
+        if backbone == "saliency":  # torch-hook backbones can't be jitted
+            fn = jax.jit(fn)
         feats = []
         n = len(dataset)
         for s in range(0, n, batch_size):
