@@ -66,7 +66,7 @@ def main() -> None:
 
     best = 0.0
     best_B = 0
-    for B in (256, 512, 1024):
+    for B in (512, 1024):
         ds = SyntheticPosterDataset(
             DatasetConfig(name="synthetic"), size=B, seed=0, image_hw=HW
         )
@@ -84,19 +84,26 @@ def main() -> None:
         out = fn(variables, image, retrieved, const_seq, const_keep, forced, key)
         jax.block_until_ready(out)
 
-        iters = 8
-        times = []
+        # genuinely distinct random canvases per timed iteration — the
+        # runtime memoizes repeated executions; verify outputs differ
+        iters = 5
+        imgs = [
+            image + jax.random.normal(jax.random.PRNGKey(100 + i), image.shape,
+                                      image.dtype) * 0.05
+            for i in range(iters)
+        ]
+        jax.block_until_ready(imgs)
+        times, outs = [], []
         for i in range(iters):
-            img_i = image + jnp.bfloat16(0)  # fresh buffer id
-            img_i = image * (1.0 + 1e-6 * (i + 1))  # fresh contents
-            jax.block_until_ready(img_i)
             t0 = time.perf_counter()
             out = fn(
-                variables, img_i, retrieved, const_seq, const_keep, forced,
+                variables, imgs[i], retrieved, const_seq, const_keep, forced,
                 jax.random.fold_in(key, i),
             )
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
+            outs.append(np.asarray(out).tobytes())
+        assert len(set(outs)) == iters, "memoized executions polluted timing"
         tput = B / min(times)
         if tput > best:
             best, best_B = tput, B

@@ -294,7 +294,7 @@ class AutoregGenerator:
         )
 
     def decode(self, variables, memory, forced, sampling: SamplingConfig,
-               key: jax.Array) -> jax.Array:
+               key: jax.Array, kv_quant: bool = False) -> jax.Array:
         """Jittable: run the KV-cached constrained decode scan."""
         tok = self.tokenizer
         dec_vars = {"params": variables["params"]["decoder"]}
@@ -302,6 +302,7 @@ class AutoregGenerator:
             self.decoder_module, dec_vars, memory, None,
             jnp.asarray(self.token_mask), jnp.asarray(forced),
             tok.max_token_length, tok.bos_id, tok.pad_id, sampling, key,
+            kv_quant=kv_quant,
         )
 
     def sample(self, variables, cond: Condition, sampling: SamplingConfig,

@@ -109,6 +109,32 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhm,bhdm->bhd", probs, v_t)
         return self.out_proj(out.reshape(B, 1, self.d_model))
 
+    def attend_t_any(self, q_in: jax.Array, cross: tuple,
+                     bias: Optional[jax.Array] = None) -> jax.Array:
+        """attend_t over either a plain (k, v) pair or an int8-quantized
+        (k, v, k_scale, v_scale) cache (bias only supported unquantized)."""
+        if len(cross) == 2:
+            return self.attend_t(q_in, cross[0], cross[1], bias)
+        assert bias is None, "int8 KV path has no bias support"
+        from ralf_tpu.ops.pallas.decode_attention import (
+            fused_decode_attention_q8,
+            pallas_decode_available,
+        )
+
+        k_i8, v_i8, ks, vs = cross
+        B = q_in.shape[0]
+        q = self._split(self.q_proj(q_in))[:, 0]
+        if pallas_decode_available():
+            out = fused_decode_attention_q8(q.astype(self.dtype), k_i8, v_i8, ks, vs)
+        else:  # reference path for CPU tests: dequantize then attend
+            k_t = k_i8.astype(jnp.float32) * ks[:, :, None, None]
+            v_t = v_i8.astype(jnp.float32) * vs[:, :, None, None]
+            scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
+            logits = jnp.einsum("bhd,bhdm->bhm", q.astype(jnp.float32) * scale, k_t)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhm,bhdm->bhd", probs, v_t).astype(self.dtype)
+        return self.out_proj(out.reshape(B, 1, self.d_model))
+
     def attend(
         self,
         q_in: jax.Array,
@@ -300,10 +326,17 @@ class TransformerDecoderLayer(nn.Module):
 
     # ---- cached decode path ---------------------------------------------
 
-    def cross_kv(self, memory: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def cross_kv(self, memory: jax.Array, kv_quant: bool = False):
         """Project the encoder memory once; reuse at every decode step.
-        Returned in the bandwidth-friendly [B, H, Dh, M] decode layout."""
-        return self.cross_attn.project_kv_t(memory)
+        Returned in the bandwidth-friendly [B, H, Dh, M] decode layout;
+        with kv_quant, as int8 + per-head scales (halves the dominant
+        per-step HBM traffic)."""
+        k, v = self.cross_attn.project_kv_t(memory)
+        if kv_quant:
+            from ralf_tpu.ops.pallas.decode_attention import quantize_kv
+
+            return quantize_kv(k, v)
+        return k, v
 
     def step(
         self,
@@ -312,8 +345,7 @@ class TransformerDecoderLayer(nn.Module):
         cache_k: jax.Array,  # [B, H, Dh, T]
         cache_v: jax.Array,
         self_bias_t: jax.Array,  # [B, 1, T] additive (pos<=t & not-pad)
-        cross_k: jax.Array,  # [B, H, Dh, M]
-        cross_v: jax.Array,
+        cross: tuple,  # (k, v) [B,H,Dh,M] or int8 (k, v, k_scale, v_scale)
         mem_bias: Optional[jax.Array],  # [B, 1, M] or None
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         h = self.norm1(x_t)
@@ -327,7 +359,7 @@ class TransformerDecoderLayer(nn.Module):
             cache_v, v_t.astype(cache_v.dtype), t, axis=3
         )
         x_t = x_t + self.self_attn.attend_t(h, cache_k, cache_v, self_bias_t)
-        x_t = x_t + self.cross_attn.attend_t(self.norm2(x_t), cross_k, cross_v, mem_bias)
+        x_t = x_t + self.cross_attn.attend_t_any(self.norm2(x_t), cross, mem_bias)
         x_t = x_t + self.ffn(self.norm3(x_t))
         return x_t, cache_k, cache_v
 
@@ -390,8 +422,8 @@ class TransformerDecoder(nn.Module):
             "v": [jnp.zeros(shape, self.dtype) for _ in range(self.num_layers)],
         }
 
-    def cross_kv(self, memory: jax.Array) -> list:
-        return [layer.cross_kv(memory) for layer in self.layers]
+    def cross_kv(self, memory: jax.Array, kv_quant: bool = False) -> list:
+        return [layer.cross_kv(memory, kv_quant) for layer in self.layers]
 
     def step(
         self,
@@ -414,8 +446,7 @@ class TransformerDecoder(nn.Module):
                 cache["k"][i],
                 cache["v"][i],
                 self_bias,
-                cross_kvs[i][0],
-                cross_kvs[i][1],
+                cross_kvs[i],
                 mem_bias,
             )
             new_k.append(ck)
@@ -488,8 +519,8 @@ class TokenDecoder(nn.Module):
     def init_cache(self, batch: int, max_len: int) -> dict:
         return self.stack.init_cache(batch, max_len)
 
-    def cross_kv(self, memory: jax.Array) -> list:
-        return self.stack.cross_kv(memory)
+    def cross_kv(self, memory: jax.Array, kv_quant: bool = False) -> list:
+        return self.stack.cross_kv(memory, kv_quant)
 
     def step(self, x_t, t, cache, cross_kvs, self_keep, mem_keep):
         return self.stack.step(x_t, t, cache, cross_kvs, self_keep, mem_keep)

@@ -66,3 +66,63 @@ def fused_decode_attention(
 
 def pallas_decode_available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------------
+# int8-quantized K/V variant
+# --------------------------------------------------------------------------
+
+
+def quantize_kv(k_t: jax.Array, v_t: jax.Array):
+    """[B, H, Dh, M] -> int8 tensors + per-(B,H) fp32 scales.
+
+    Halves the decode loop's dominant HBM traffic (the per-step cross-KV
+    reads).  Symmetric per-head absmax quantization; dequantization
+    happens inside the kernel in VMEM so the bandwidth saving is real.
+    """
+
+    def q(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3), keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        xi = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        return xi.astype(jnp.int8), scale[:, :, 0, 0]  # [B, H]
+
+    ki, ks = q(k_t)
+    vi, vs = q(v_t)
+    return ki, vi, ks, vs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_decode_attention_q8(
+    q: jax.Array,  # [B, H, Dh]
+    k_i8: jax.Array,  # [B, H, Dh, M] int8
+    v_i8: jax.Array,
+    k_scale: jax.Array,  # [B, H] fp32
+    v_scale: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-KV variant.  The per-head scales fold OUTSIDE the kernel:
+    k_scale into the query (scores are linear in q), v_scale onto the
+    output (linear in v) — so the kernel is the plain fused attention on
+    int8 blocks and the tiny scale tensors never hit VMEM tiling rules."""
+    B, H, Dh = q.shape
+    M = k_i8.shape[-1]
+    q_scaled = q.astype(jnp.float32) * (Dh**-0.5) * k_scale[:, :, None]
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=1.0),
+        out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Dh, M), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Dh, M), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Dh * M * 2,
+            bytes_accessed=2 * B * H * Dh * M,
+            transcendentals=B * H * M,
+        ),
+        interpret=interpret,
+    )(q_scaled, k_i8, v_i8)
+    return (out * v_scale[:, :, None]).astype(q.dtype)
