@@ -50,6 +50,9 @@ def main() -> None:
     p.add_argument("--split", default="test")
     p.add_argument("--fidnet-dir", default=None,
                    help="trained FIDNet checkpoint dir (fid_train CLI)")
+    p.add_argument("--unannotated", action="store_true",
+                   help="no-GT split: heuristic metrics only, no FID/prdc "
+                        "(eval_unanno.py equivalent)")
     args = p.parse_args()
 
     import jax
@@ -126,8 +129,9 @@ def main() -> None:
         )
         for k, v in sal.items():
             scores[k] = nanmean(v)
-        feats = np.asarray(feat_fn(layout))
-        scores.update(compute_generative_model_scores(gt_feats, feats))
+        if not args.unannotated:  # FID/prdc need GT layouts
+            feats = np.asarray(feat_fn(layout))
+            scores.update(compute_generative_model_scores(gt_feats, feats))
         all_scores.append(scores)
         logging.info("%s: %s", os.path.basename(pkl_path),
                      {k: round(v, 4) for k, v in scores.items()})

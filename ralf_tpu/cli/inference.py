@@ -82,6 +82,17 @@ def main() -> None:
 
     train_ds, val_ds, test_ds = build_datasets(cfg)
     ds = {"val": val_ds, "test": test_ds}[args.split]
+    if args.unannotated:
+        # `with_no_annotation` split: real canvases, no GT layouts
+        # (`inference_unanno.py`); parquet dumps expose it as a 4th dir,
+        # synthetic runs reuse the test set with GT ignored
+        try:
+            from ralf_tpu.data.dataset import HFParquetDataset
+
+            ds = HFParquetDataset(cfg.dataset, "with_no_annotation")
+        except Exception:
+            logging.warning("no with_no_annotation split; using %s canvases",
+                            args.split)
     tokenizer = build_tokenizer(cfg)
     gen = build_generator(cfg, tokenizer)
 
