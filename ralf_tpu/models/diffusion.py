@@ -484,6 +484,10 @@ class LayoutDMCore(nn.Module):
     num_timesteps: int
     pos_emb: str
     cfg: GeneratorConfig = GeneratorConfig()
+    with_retrieval: bool = False  # RetrievalAugmentedLayoutDM (`layoutdm.py:91-99`)
+    num_labels: int = 3
+    max_seq_length: int = 10
+    top_k: int = 16
 
     def setup(self) -> None:
         c = self.cfg
@@ -498,6 +502,13 @@ class LayoutDMCore(nn.Module):
             fpn_style="cgl",
             dtype=dtype,
         )
+        if self.with_retrieval:
+            from ralf_tpu.models.retrieval_augment import RetrievalAugmentation
+
+            self.retrieval_aug = RetrievalAugmentation(
+                self.num_labels, self.max_seq_length, c.d_model, self.top_k,
+                c.dropout, dtype,
+            )
         self.decoder = DiffusionDecoderCore(
             vocab_size=self.vocab_size,
             d_model=c.d_model,
@@ -510,11 +521,15 @@ class LayoutDMCore(nn.Module):
             dtype=dtype,
         )
 
-    def encode_memory(self, image: jax.Array, train: bool = False) -> jax.Array:
-        return self.encoder(image, train=train)
+    def encode_memory(self, image: jax.Array, retrieved=None,
+                      train: bool = False) -> jax.Array:
+        memory = self.encoder(image, train=train)
+        if self.with_retrieval:
+            memory = self.retrieval_aug(memory, retrieved, train=train)
+        return memory
 
-    def __call__(self, seq, image, timestep, train: bool = False):
-        memory = self.encode_memory(image, train)
+    def __call__(self, seq, image, timestep, retrieved=None, train: bool = False):
+        memory = self.encode_memory(image, retrieved, train)
         return self.decoder(seq, memory, timestep, train)
 
 
@@ -533,6 +548,8 @@ class LayoutDMGenerator:
         pos_emb: str = "elem_attr",
         auxiliary_loss_weight: float = 0.1,
         image_hw: tuple[int, int] = (350, 240),
+        with_retrieval: bool = False,
+        top_k: int = 16,
     ) -> None:
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -540,12 +557,18 @@ class LayoutDMGenerator:
         self.image_hw = image_hw
         self.num_timesteps = num_timesteps
         self.aux_w = auxiliary_loss_weight
+        self.with_retrieval = with_retrieval
+        self.top_k = top_k
         self.diffusion = MaskAndReplaceDiffusion(tokenizer, num_timesteps, q_type)
         self.core = LayoutDMCore(
             vocab_size=tokenizer.N_total,
             num_timesteps=num_timesteps,
             pos_emb=pos_emb,
             cfg=cfg,
+            with_retrieval=with_retrieval,
+            num_labels=tokenizer.N_label,
+            max_seq_length=tokenizer.max_seq_length,
+            top_k=top_k,
         )
         # standalone decoder view (applied with the 'decoder' param subtree)
         c = cfg
@@ -564,6 +587,15 @@ class LayoutDMGenerator:
         self.Lt_history = np.zeros((num_timesteps,))
         self.Lt_count = np.zeros((num_timesteps,))
 
+    def _dummy_retrieved(self, batch_size: int):
+        if not self.with_retrieval:
+            return None
+        S, K = self.tokenizer.max_seq_length, self.top_k
+        z = jnp.zeros((batch_size, K, S), jnp.float32)
+        return {"label": jnp.zeros((batch_size, K, S), jnp.int32),
+                "center_x": z, "center_y": z, "width": z, "height": z,
+                "mask": jnp.zeros((batch_size, K, S), bool)}
+
     def init(self, key: jax.Array, batch_size: int = 1):
         H, W = self.image_hw
         L = self.tokenizer.max_token_length
@@ -572,6 +604,7 @@ class LayoutDMGenerator:
             jnp.zeros((batch_size, L), jnp.int32),
             jnp.zeros((batch_size, H, W, 4), jnp.float32),
             jnp.zeros((batch_size,), jnp.int32),
+            self._dummy_retrieved(batch_size),
         )
 
     # ---- host-side conditioning -------------------------------------------
@@ -611,13 +644,18 @@ class LayoutDMGenerator:
             "pt": pt.astype(np.float32),
             "noise_seed": np.asarray(rng.integers(2**31), np.uint32),
         }
+        if self.with_retrieval:
+            r = batch["retrieved"]
+            inputs["retrieved"] = {k: np.asarray(r[k]) for k in
+                                   ("label", "center_x", "center_y", "width",
+                                    "height", "mask")}
         targets = {"seq": seq}
         return inputs, targets
 
     def loss(self, variables, inputs, targets, *, train: bool = True,
              rngs: Optional[dict] = None):
         memory, new_state = self.core.apply(
-            variables, inputs["image"], train,
+            variables, inputs["image"], inputs.get("retrieved"), train,
             method=LayoutDMCore.encode_memory,
             rngs=rngs, mutable=["batch_stats"] if train else [],
         )
@@ -689,8 +727,14 @@ class LayoutDMGenerator:
                 (attr[None, :] != 0) & (cond.seq != tok.pad_id)
             )
 
+        retrieved = None
+        if self.with_retrieval:
+            assert cond.retrieved is not None, "RA-LayoutDM needs retrieval"
+            retrieved = {k: jnp.asarray(np.asarray(cond.retrieved[k])) for k in
+                         ("label", "center_x", "center_y", "width", "height",
+                          "mask")}
         memory = self.core.apply(
-            variables, jnp.asarray(cond.image), False,
+            variables, jnp.asarray(cond.image), retrieved, False,
             method=LayoutDMCore.encode_memory,
         )
         dec_vars = {"params": variables["params"]["decoder"]}
