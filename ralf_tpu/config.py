@@ -54,7 +54,8 @@ EXPERIMENTS: dict[str, dict] = {
     "layoutdm_ra": dict(generator="layoutdm", tokenizer=DIFFUSION_TOKENIZER,
                         transforms=("shuffle",),
                         generator_kwargs=dict(q_type="constrained",
-                                              pos_emb="elem_attr")),
+                                              pos_emb="elem_attr",
+                                              with_retrieval=True, top_k=16)),
     "vqdiffusion": dict(generator="layoutdm", tokenizer=MASKGIT_TOKENIZER,
                         transforms=("shuffle",),
                         generator_kwargs=dict(q_type="default",
