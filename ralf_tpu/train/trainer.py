@@ -59,6 +59,8 @@ class TrainConfig:
     # job_dir/profile — the first-class runtime visibility the reference
     # lacks (SURVEY §5: torch-tb-profiler declared but never imported)
     profile_steps: Optional[tuple] = None
+    tensorboard: bool = False  # scalar logging (reference `train.py:309-316`)
+    render_every_epochs: int = 0  # save a sample montage PNG per N epochs
 
 
 class Trainer:
@@ -79,6 +81,14 @@ class Trainer:
         self._eval_step = None
         os.makedirs(cfg.job_dir, exist_ok=True)
         self._metrics_path = os.path.join(cfg.job_dir, "metrics.jsonl")
+        self._tb = None
+        if cfg.tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(cfg.job_dir, "tb"))
+            except Exception as e:  # keep training without tb
+                logger.warning("tensorboard unavailable: %s", e)
 
     # ---- state -------------------------------------------------------------
 
@@ -220,6 +230,16 @@ class Trainer:
             with open(self._metrics_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             logger.info("epoch %d done: %s", epoch, rec)
+            if self._tb is not None:
+                self._tb.add_scalar("train/loss", train_loss, epoch)
+                if val_loss is not None:
+                    self._tb.add_scalar("val/loss", val_loss, epoch)
+                self._tb.add_scalar("train/lr_scale", scale, epoch)
+
+            if (self.cfg.render_every_epochs
+                    and epoch % self.cfg.render_every_epochs == 0
+                    and val_loader is not None):
+                self._render_samples(state, val_loader, epoch)
 
             if val_loss is not None and val_loss < best_val:
                 best_val = val_loss
@@ -229,6 +249,38 @@ class Trainer:
 
         self.save(state, tag="final")
         return state
+
+    def _render_samples(self, state: TrainState, val_loader, epoch: int) -> None:
+        """Sample + render a montage of generated layouts (the reference's
+        per-epoch TensorBoard renders, `train.py:384-388`)."""
+        try:
+            from PIL import Image
+
+            from ralf_tpu.core.sampling import SamplingConfig
+            from ralf_tpu.eval.visualizer import montage, render_layout
+
+            batch = next(iter(val_loader))
+            n = min(8, np.asarray(batch["image"]).shape[0])
+            batch = jax.tree.map(lambda x: x[:n] if hasattr(x, "__getitem__") else x,
+                                 batch)
+            rng = np.random.default_rng(epoch)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            if hasattr(self.gen, "build_condition"):
+                cond, _ = self.gen.build_condition(batch, rng)
+                layout = self.gen.sample(
+                    variables, cond, SamplingConfig(name="random"),
+                    jax.random.PRNGKey(epoch),
+                )
+            else:
+                layout = self.gen.sample(variables, batch, rng)
+            grid = montage(render_layout(layout, np.asarray(batch["image"])))
+            path = os.path.join(self.cfg.job_dir, f"samples_epoch{epoch}.png")
+            Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+            if self._tb is not None:
+                self._tb.add_image("samples", grid.transpose(2, 0, 1), epoch)
+            logger.info("rendered %s", path)
+        except Exception as e:
+            logger.warning("sample rendering failed: %s", e)
 
     # ---- checkpointing (orbax) -------------------------------------------------
 
