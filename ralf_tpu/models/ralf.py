@@ -91,13 +91,27 @@ class ViTCrossAttention(nn.Module):
 
 
 class RALFCore(nn.Module):
-    """Flax core of the final RALF architecture (see module docstring)."""
+    """Flax core of the final RALF architecture (see module docstring).
+
+    fusion selects among the reference's intermediate-fusion ablations
+    (`retrieval_augmented_autoreg.py:587-1294` implements them as nine
+    classes; here one flag):
+      * 'concat_crossattn' — the final architecture:
+        head(concat_seq[memory, CA(memory, ref), ref])
+      * 'crossattn'        — cross-attention only: head(CA(memory, ref))
+        added rows (`BaseAuxilaryTaskCrossAttn...`)
+      * 'concat'           — concat only, no cross-attention
+        (`...ConcatRetrievalAugmentedAutoreg:858-903`)
+      * 'adapter'          — ref rows appended raw after the adapter
+        (`RetrievalAugmentedAutoregAdapter:587-632`)
+    """
 
     vocab_size: int
     const_vocab_size: int
     num_labels: int
     max_seq_length: int
     top_k: int = 16
+    fusion: str = "concat_crossattn"
     cfg: GeneratorConfig = GeneratorConfig()
 
     def setup(self) -> None:
@@ -180,11 +194,26 @@ class RALFCore(nn.Module):
     ) -> jax.Array:
         memory = self.encoder(image, train=train)  # [B, M, D]
         ref = self.encode_retrieved(retrieved, train)  # [B, K, D]
-        memory_ca = self.attn(memory, ref, deterministic=not train)
-        fused = self.fusion_head(
-            jnp.concatenate([memory, memory_ca, ref], axis=1),
-            deterministic=not train,
-        )  # [B, 2M+K, D]
+        det = not train
+        if self.fusion == "concat_crossattn":  # final architecture
+            memory_ca = self.attn(memory, ref, deterministic=det)
+            fused = self.fusion_head(
+                jnp.concatenate([memory, memory_ca, ref], axis=1),
+                deterministic=det,
+            )  # [B, 2M+K, D]
+        elif self.fusion == "crossattn":
+            memory_ca = self.attn(memory, ref, deterministic=det)
+            fused = self.fusion_head(
+                jnp.concatenate([memory, memory_ca], axis=1), deterministic=det
+            )
+        elif self.fusion == "concat":
+            fused = self.fusion_head(
+                jnp.concatenate([memory, ref], axis=1), deterministic=det
+            )
+        elif self.fusion == "adapter":
+            fused = jnp.concatenate([memory, ref], axis=1)
+        else:
+            raise ValueError(self.fusion)
         const = self.const_encoder(const_seq, const_keep, train=train)
         fused = fused + self.flag_emb[0]
         const = const + self.flag_emb[1]
@@ -222,8 +251,10 @@ class RALFGenerator(AutoregGenerator):
         auxiliary_task: Optional[str] = "uncond",
         image_hw: tuple[int, int] = (350, 240),
         top_k: int = 16,
+        fusion: str = "concat_crossattn",
     ) -> None:
         self.top_k = top_k
+        self.fusion = fusion
         super().__init__(tokenizer, cfg, auxiliary_task, image_hw)
 
     def _build_core(self) -> nn.Module:
@@ -233,6 +264,7 @@ class RALFGenerator(AutoregGenerator):
             num_labels=self.tokenizer.N_label,
             max_seq_length=self.tokenizer.max_seq_length,
             top_k=self.top_k,
+            fusion=self.fusion,
             cfg=self.cfg,
         )
 

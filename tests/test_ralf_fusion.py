@@ -1,0 +1,52 @@
+"""RALF fusion-ablation modes build, train-step and produce the right
+memory widths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ralf_tpu.core.layout import random_layout
+from ralf_tpu.core.tokenizer import LayoutSequenceTokenizer, TokenizerConfig
+from ralf_tpu.data.dataset import BatchLoader, DatasetConfig, SyntheticPosterDataset
+from ralf_tpu.models.base import GeneratorConfig
+from ralf_tpu.models.ralf import RALFCore, RALFGenerator
+from ralf_tpu.retrieval.retriever import Retriever
+from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
+
+S, HW, K = 10, (64, 48), 4
+TINY = GeneratorConfig(d_model=32, nhead=4, num_encoder_layers=1,
+                       num_decoder_layers=1, dim_feedforward=64,
+                       backbone="resnet18")
+M = 12  # 4x3 feature map at 64x48
+
+
+@pytest.mark.parametrize("fusion,extra", [
+    ("concat_crossattn", 2 * M + K),
+    ("crossattn", 2 * M),
+    ("concat", M + K),
+    ("adapter", M + K),
+])
+def test_fusion_modes(fusion, extra):
+    tok = LayoutSequenceTokenizer(
+        TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16)
+    )
+    gen = RALFGenerator(tok, TINY, "uncond", image_hw=HW, top_k=K, fusion=fusion)
+    variables = gen.init(jax.random.PRNGKey(0))
+
+    ds = SyntheticPosterDataset(DatasetConfig(name="synthetic"), size=8, seed=0,
+                                image_hw=HW)
+    loader = RetrievalAugmentedLoader(BatchLoader(ds, 2, shuffle=False, seed=0),
+                                      Retriever.build(ds), top_k=K)
+    batch = next(iter(loader))
+    rng = np.random.default_rng(0)
+    cond, _ = gen.build_condition(batch, rng)
+    memory = gen.encode_memory(variables, cond)
+    Lc = gen.vocab.const_len("uncond")
+    assert memory.shape == (2, extra + Lc, 32)
+
+    inputs, targets = gen.preprocess(batch, rng)
+    loss, _ = gen.loss(variables, jax.tree.map(jnp.asarray, inputs),
+                       jax.tree.map(jnp.asarray, targets), train=True,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))

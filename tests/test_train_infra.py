@@ -1,0 +1,113 @@
+"""Training infrastructure: schedulers, optimizer param groups, checkpoint
+resume, int8-KV decode CPU path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ralf_tpu.core.layout import random_layout
+from ralf_tpu.core.sampling import SamplingConfig
+from ralf_tpu.core.tokenizer import LayoutSequenceTokenizer, TokenizerConfig
+from ralf_tpu.data.dataset import BatchLoader, DatasetConfig, SyntheticPosterDataset
+from ralf_tpu.models.autoreg import AutoregGenerator
+from ralf_tpu.models.base import GeneratorConfig
+from ralf_tpu.train.optim import build_optimizer, lr_group_labels, set_learning_rate
+from ralf_tpu.train.schedulers import (
+    DSGANScheduler,
+    MultiStepLRScheduler,
+    ReduceLROnPlateauScheduler,
+    VoidScheduler,
+)
+from ralf_tpu.train.trainer import Trainer, TrainConfig
+
+S, HW = 10, (64, 48)
+TINY = GeneratorConfig(d_model=32, nhead=4, num_encoder_layers=1,
+                       num_decoder_layers=1, dim_feedforward=64,
+                       backbone="resnet18")
+
+
+def test_schedulers():
+    ms = MultiStepLRScheduler(epochs=100, milestones=[0.5, 0.9], gamma=0.1)
+    assert ms.scale(10) == 1.0
+    assert ms.scale(50) == 0.1
+    assert ms.scale(95) == 0.01 - 0 or abs(ms.scale(95) - 0.01) < 1e-12
+
+    ds = DSGANScheduler(epochs=300, network="generator")
+    assert ds.scale(49) == 1.0
+    assert abs(ds.scale(50) - 0.8) < 1e-12
+    assert abs(ds.scale(100) - 0.64) < 1e-12
+
+    pl = ReduceLROnPlateauScheduler(factor=0.5, patience=1)
+    scales = [pl.scale(e, metric=1.0) for e in range(5)]  # flat -> reduce
+    assert scales[0] == 1.0 and scales[-1] < 1.0
+
+    assert VoidScheduler().scale(7) == 1.0
+
+
+def test_optimizer_groups_and_lr_injection():
+    tok = LayoutSequenceTokenizer(TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16))
+    gen = AutoregGenerator(tok, TINY, "uncond", image_hw=HW)
+    variables = gen.init(jax.random.PRNGKey(0))
+    labels = lr_group_labels(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    groups = {v for _, v in flat}
+    assert "trunk" in groups and "rest" in groups
+    # every resnet trunk leaf labeled trunk
+    for path, v in flat:
+        p = "/".join(getattr(k, "key", str(k)) for k in path)
+        if "/trunk/" in f"/{p}/":
+            assert v == "trunk", p
+
+    tx = build_optimizer(variables["params"], base_lr=1e-3)
+    opt_state = tx.init(variables["params"])
+    opt_state2 = set_learning_rate(opt_state, 5e-4)
+    # lr actually changed in the 'rest' branch
+    def find_lr(st):
+        found = []
+        def visit(s):
+            if hasattr(s, "inner_states"):
+                for label, sub in s.inner_states.items():
+                    if hasattr(sub.inner_state, "hyperparams"):
+                        found.append((label, float(sub.inner_state.hyperparams["learning_rate"])))
+            return s
+        if isinstance(st, tuple) and not hasattr(st, "_fields"):
+            for s in st:
+                visit(s)
+        else:
+            visit(st)
+        return dict(found)
+
+    lrs = find_lr(opt_state2)
+    assert abs(lrs["rest"] - 5e-4) < 1e-9
+    assert abs(lrs["trunk"] - 5e-5) < 1e-9
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    tok = LayoutSequenceTokenizer(TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16))
+    gen = AutoregGenerator(tok, TINY, "uncond", image_hw=HW)
+    ds = SyntheticPosterDataset(DatasetConfig(name="synthetic"), size=16, seed=0,
+                                image_hw=HW)
+    cfg = TrainConfig(epochs=1, batch_size=8, job_dir=str(tmp_path))
+    tr = Trainer(gen, cfg)
+    state = tr.fit(BatchLoader(ds, 8, seed=0), num_steps_cap=1)
+    step0 = int(jax.device_get(state.step))
+    restored = tr.restore("final")
+    assert int(jax.device_get(restored.step)) == step0
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_kv_quant_decode_cpu_path():
+    tok = LayoutSequenceTokenizer(TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16))
+    gen = AutoregGenerator(tok, TINY, "uncond", image_hw=HW)
+    variables = gen.init(jax.random.PRNGKey(0))
+    memory = jax.random.normal(jax.random.PRNGKey(1), (2, 20, 32))
+    forced = jnp.full((2, tok.max_token_length), -1, jnp.int32)
+    det = SamplingConfig(name="deterministic")
+    a = np.asarray(gen.decode(variables, memory, forced, det, jax.random.PRNGKey(0)))
+    b = np.asarray(gen.decode(variables, memory, forced, det, jax.random.PRNGKey(0),
+                              kv_quant=True))
+    # int8 KV is a mild perturbation: most greedy tokens agree on CPU too
+    assert (a == b).mean() > 0.6
