@@ -131,23 +131,31 @@ def build_config(experiment: str, overrides: Optional[list[str]] = None,
 
 
 def apply_override(cfg: FrameworkConfig, override: str) -> None:
-    """`a.b.c=value` with json-ish value parsing."""
+    """`a.b.c=value` with json-ish value parsing.  Frozen dataclasses
+    (SamplingConfig, DatasetConfig) are rebuilt via dataclasses.replace."""
     key, _, value = override.lstrip("+").partition("=")
     try:
         value = json.loads(value)
     except json.JSONDecodeError:
         pass
     parts = key.split(".")
+    parent: Any = None
+    parent_attr: Optional[str] = None
     obj: Any = cfg
     for p in parts[:-1]:
+        parent, parent_attr = obj, p
         obj = obj[p] if isinstance(obj, dict) else getattr(obj, p)
     last = parts[-1]
     if isinstance(obj, dict):
         obj[last] = value
-    elif dataclasses.is_dataclass(obj) and getattr(type(obj), "__dataclass_params__").frozen:
-        raise ValueError(
-            f"cannot override frozen config field {key}; set it at build time"
-        )
+    elif dataclasses.is_dataclass(obj) and getattr(
+        type(obj), "__dataclass_params__"
+    ).frozen:
+        new_obj = dataclasses.replace(obj, **{last: value})
+        if isinstance(parent, dict):
+            parent[parent_attr] = new_obj
+        else:
+            setattr(parent, parent_attr, new_obj)
     else:
         setattr(obj, last, value)
 
