@@ -122,17 +122,43 @@ def sharded_topk(
     query: jax.Array,  # [B, D] replicated
     gallery: jax.Array,  # [N, D] sharded along `axis`
     k: int,
+    *,
+    exclude_self: bool = False,
+    query_ids: Optional[jax.Array] = None,  # [B] gallery row of each query
+    n_valid: Optional[int] = None,  # real rows; rest is shard padding
 ) -> jax.Array:
     """Mesh-sharded gallery scan: local top-k per shard, then a global
-    reduce over the gathered (score, index) candidates."""
+    reduce over the gathered (score, index) candidates.
+
+    Matches `exact_topk` semantics: optional self-exclusion for
+    train-split tables, and rows >= `n_valid` (added to pad N to a
+    multiple of the shard count) never surface as neighbors.
+    """
     n_shards = mesh.shape[axis]
     shard_n = gallery.shape[0] // n_shards
+    if shard_n * n_shards != gallery.shape[0]:
+        raise ValueError(
+            f"gallery rows ({gallery.shape[0]}) must be a multiple of the "
+            f"'{axis}' axis size ({n_shards}); pad the gallery first"
+        )
+    # local candidate count: clamped for tiny shards; the global reduce
+    # over shards*k_local gathered candidates still recovers exact top-k
+    k_local = min(k, shard_n)
+    if k > n_shards * k_local:
+        raise ValueError(f"k={k} exceeds gallery size {gallery.shape[0]}")
+    n_real = gallery.shape[0] if n_valid is None else n_valid
+    if query_ids is None:
+        query_ids = jnp.zeros((query.shape[0],), jnp.int32)
 
-    def local(q, g):
+    def local(q, g, qid):
         s = jnp.dot(q, g.T, preferred_element_type=jnp.float32)  # [B, N/shards]
-        val, idx = jax.lax.top_k(s, k)
-        base = jax.lax.axis_index(axis) * shard_n
-        idx = idx + base
+        rows = jax.lax.axis_index(axis) * shard_n + jnp.arange(shard_n)
+        dead = rows[None, :] >= n_real
+        if exclude_self:
+            dead = dead | (rows[None, :] == qid[:, None])
+        s = jnp.where(dead, -jnp.inf, s)
+        val, idx = jax.lax.top_k(s, k_local)
+        idx = idx + jax.lax.axis_index(axis) * shard_n
         # gather candidates from all shards -> [B, shards*k]
         val = jax.lax.all_gather(val, axis, axis=1).reshape(val.shape[0], -1)
         idx = jax.lax.all_gather(idx, axis, axis=1).reshape(idx.shape[0], -1)
@@ -144,11 +170,11 @@ def sharded_topk(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None)),
+        in_specs=(P(), P(axis, None), P()),
         out_specs=P(),
         check_rep=False,
     )
-    return fn(query, gallery)
+    return fn(query, gallery, query_ids)
 
 
 # --------------------------------------------------------------------------
@@ -176,6 +202,31 @@ class Retriever:
         self.layouts = {k: np.asarray(v) for k, v in layouts.items()}
         self.backbone_name = backbone
         self.backbone = BACKBONES[backbone]
+        # gallery-sharding state (see shard_gallery)
+        self.mesh: Optional[Mesh] = None
+        self.mesh_axis: Optional[str] = None
+        self._sharded_features: Optional[jax.Array] = None
+
+    def shard_gallery(self, mesh: Mesh, axis: str = "gallery") -> "Retriever":
+        """Distribute the gallery rows over a mesh axis.
+
+        After this, `topk` (and therefore `precompute_table` and
+        `RetrievalAugmentedLoader`) runs the `sharded_topk` scan: each
+        shard holds N/|axis| gallery rows in its own HBM, local top-k
+        candidates are all-gathered over ICI and reduced.  This is what
+        lets CGL-scale (or much larger) galleries exceed one chip's HBM
+        — the reference's faiss index is host-RAM-bound instead
+        (`retriever.py:79-229`).  Rows are zero-padded to a multiple of
+        the axis size; padding never surfaces as a neighbor.
+        """
+        n_shards = mesh.shape[axis]
+        pad = (-self.features.shape[0]) % n_shards
+        f = jnp.pad(self.features, ((0, pad), (0, 0)))
+        self._sharded_features = jax.device_put(
+            f, NamedSharding(mesh, P(axis, None))
+        )
+        self.mesh, self.mesh_axis = mesh, axis
+        return self
 
     @classmethod
     def build(
@@ -205,15 +256,24 @@ class Retriever:
         exclude_self: bool = False,
         query_ids: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        idx = exact_topk(
-            query_feats,
-            self.features,
-            k,
-            exclude_self,
-            jnp.asarray(query_ids) if query_ids is not None else jnp.zeros(
-                (query_feats.shape[0],), jnp.int32
-            ),
+        qid = (
+            jnp.asarray(query_ids)
+            if query_ids is not None
+            else jnp.zeros((query_feats.shape[0],), jnp.int32)
         )
+        if self.mesh is not None:
+            idx = sharded_topk(
+                self.mesh,
+                self.mesh_axis,
+                query_feats,
+                self._sharded_features,
+                k,
+                exclude_self=exclude_self,
+                query_ids=qid,
+                n_valid=self.features.shape[0],
+            )
+        else:
+            idx = exact_topk(query_feats, self.features, k, exclude_self, qid)
         return np.asarray(idx)
 
     def gather_neighbors(self, idx: np.ndarray) -> dict:
