@@ -71,11 +71,23 @@ def main() -> None:
     needs_retrieval = cfg.experiment in ("ralf",) or cfg.generator_kwargs.get(
         "with_retrieval"
     )
+    mesh = None
     if needs_retrieval:
         from ralf_tpu.retrieval.retriever import Retriever
         from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
 
         retriever = Retriever.build(train_ds)
+        gs = cfg.train.gallery_shards
+        if gs > 1:  # row-shard the gallery; remaining devices = data axis
+            from ralf_tpu.parallel.mesh import GALLERY_AXIS, make_mesh
+
+            n = len(jax.devices())
+            if n % gs:
+                raise SystemExit(
+                    f"train.gallery_shards={gs} must divide device count {n}"
+                )
+            mesh = make_mesh((n // gs, gs))
+            retriever.shard_gallery(mesh, GALLERY_AXIS)
         top_k = cfg.generator_kwargs.get("top_k", 16)
         train_loader = RetrievalAugmentedLoader(
             train_loader, retriever, top_k, is_train_split=True
@@ -87,17 +99,17 @@ def main() -> None:
         if cfg.experiment == "icvt":
             from ralf_tpu.train.trainer import Trainer
 
-            trainer = Trainer(gen, cfg.train)
+            trainer = Trainer(gen, cfg.train, mesh=mesh)
             trainer.fit(train_loader, val_loader, num_steps_cap=cap)
         else:
             from ralf_tpu.train.gan_trainer import GANTrainer
 
-            trainer = GANTrainer(gen, cfg.train)
+            trainer = GANTrainer(gen, cfg.train, mesh=mesh)
             trainer.fit_gan(train_loader, num_steps_cap=cap)
     else:
         from ralf_tpu.train.trainer import Trainer
 
-        trainer = Trainer(gen, cfg.train)
+        trainer = Trainer(gen, cfg.train, mesh=mesh)
         trainer.fit(train_loader, val_loader, num_steps_cap=cap)
     print(f"done: {cfg.train.job_dir}")
 

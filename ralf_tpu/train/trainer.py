@@ -61,6 +61,10 @@ class TrainConfig:
     profile_steps: Optional[tuple] = None
     tensorboard: bool = False  # scalar logging (reference `train.py:309-316`)
     render_every_epochs: int = 0  # save a sample montage PNG per N epochs
+    # devices on the mesh's "gallery" axis (1 = replicated retrieval
+    # gallery).  >1 row-shards the retrieval gallery across chips via
+    # Retriever.shard_gallery — the remaining devices form the data axis
+    gallery_shards: int = 1
 
 
 class Trainer:
