@@ -109,10 +109,71 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhm,bhdm->bhd", probs, v_t)
         return self.out_proj(out.reshape(B, 1, self.d_model))
 
-    def attend_t_any(self, q_in: jax.Array, cross: tuple,
+    def attend_shared(
+        self,
+        q_in: jax.Array,  # [B, 1, D]
+        mem: jax.Array,  # [B, M, E] shared encoder memory (E == d_model)
+        bias: Optional[jax.Array] = None,  # broadcastable to [B, H, M]
+    ) -> jax.Array:
+        """Weight-folded single-query cross-attention over the SHARED memory.
+
+        Exact same math as attend_t on K = mem Wk + bk / V = mem Wv + bv:
+        the K bias shifts every position's score equally (softmax-invariant)
+        and the V bias rides through the probability simplex (sum(p) = 1),
+        so scores_h = (scale q_h Wk_h^T) mem^T and
+        out_h = (probs_h mem) Wv_h + bv_h.  The decode step then streams one
+        copy of the memory per layer instead of projected K AND V — half the
+        HBM traffic of the cache layout on the dominant decode stream.
+        """
+        B = q_in.shape[0]
+        E = mem.shape[-1]
+        q = self._split(self.q_proj(q_in))[:, 0]  # [B, H, Dh]
+        wk = self.k_proj.variables["params"]["kernel"]  # [E, D]
+        wk = wk.reshape(E, self.nhead, self.head_dim)
+        scale = self.head_dim**-0.5
+        qt = jnp.einsum(
+            "bhd,ehd->bhe", q.astype(jnp.float32) * scale, wk.astype(jnp.float32)
+        ).astype(self.dtype)
+        if bias is None and self.use_pallas_decode:
+            from ralf_tpu.ops.pallas.decode_attention import (
+                fused_decode_shared_attention,
+                pallas_decode_available,
+            )
+
+            if pallas_decode_available():
+                ot = fused_decode_shared_attention(qt, mem.astype(self.dtype))
+            else:
+                ot = None
+        else:
+            ot = None
+        if ot is None:
+            scores = jnp.einsum(
+                "bhe,bme->bhm", qt, mem.astype(qt.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if bias is not None:
+                scores = scores + bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            ot = jnp.einsum("bhm,bme->bhe", probs, mem.astype(self.dtype))
+        wv = self.v_proj.variables["params"]["kernel"].reshape(
+            E, self.nhead, self.head_dim
+        )
+        bv = self.v_proj.variables["params"]["bias"].reshape(
+            self.nhead, self.head_dim
+        )
+        out = (
+            jnp.einsum("bhe,ehd->bhd", ot.astype(self.dtype), wv.astype(self.dtype))
+            + bv.astype(self.dtype)
+        )
+        return self.out_proj(out.reshape(B, 1, self.d_model))
+
+    def attend_t_any(self, q_in: jax.Array, cross,
                      bias: Optional[jax.Array] = None) -> jax.Array:
-        """attend_t over either a plain (k, v) pair or an int8-quantized
-        (k, v, k_scale, v_scale) cache (bias only supported unquantized)."""
+        """attend_t over a shared-memory array (weight-folded path), a plain
+        (k, v) pair, or an int8-quantized (k, v, k_scale, v_scale) cache
+        (bias only supported on the shared / unquantized paths)."""
+        if isinstance(cross, jax.Array):
+            return self.attend_shared(q_in, cross, bias)
         if len(cross) == 2:
             return self.attend_t(q_in, cross[0], cross[1], bias)
         assert bias is None, "int8 KV path has no bias support"
@@ -422,7 +483,14 @@ class TransformerDecoder(nn.Module):
             "v": [jnp.zeros(shape, self.dtype) for _ in range(self.num_layers)],
         }
 
-    def cross_kv(self, memory: jax.Array, kv_quant: bool = False) -> list:
+    def cross_kv(self, memory: jax.Array, kv_quant: bool = False,
+                 shared: bool = True):
+        """Decode-time cross-attention operand.  Default 'shared': the raw
+        memory itself (weight-folded attention, see
+        MultiHeadAttention.attend_shared — one HBM stream for all layers).
+        shared=False precomputes per-layer K/V caches (optionally int8)."""
+        if shared and not kv_quant:
+            return memory.astype(self.dtype)
         return [layer.cross_kv(memory, kv_quant) for layer in self.layers]
 
     def step(
@@ -430,7 +498,7 @@ class TransformerDecoder(nn.Module):
         x_t: jax.Array,  # [B, 1, D]
         t: jax.Array,  # scalar int32
         cache: dict,
-        cross_kvs: list,
+        cross_kvs,  # shared memory array, or per-layer list of KV tuples
         self_keep: jax.Array,  # [B, T] True = attend (already excludes > t)
         mem_keep: Optional[jax.Array],
     ) -> tuple[jax.Array, dict]:
@@ -438,6 +506,7 @@ class TransformerDecoder(nn.Module):
         mem_bias = (
             keep_to_bias(mem_keep)[:, None, :] if mem_keep is not None else None
         )
+        shared = isinstance(cross_kvs, jax.Array)
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             x_t, ck, cv = layer.step(
@@ -446,7 +515,7 @@ class TransformerDecoder(nn.Module):
                 cache["k"][i],
                 cache["v"][i],
                 self_bias,
-                cross_kvs[i],
+                cross_kvs if shared else cross_kvs[i],
                 mem_bias,
             )
             new_k.append(ck)
@@ -519,8 +588,9 @@ class TokenDecoder(nn.Module):
     def init_cache(self, batch: int, max_len: int) -> dict:
         return self.stack.init_cache(batch, max_len)
 
-    def cross_kv(self, memory: jax.Array, kv_quant: bool = False) -> list:
-        return self.stack.cross_kv(memory, kv_quant)
+    def cross_kv(self, memory: jax.Array, kv_quant: bool = False,
+                 shared: bool = True):
+        return self.stack.cross_kv(memory, kv_quant, shared)
 
     def step(self, x_t, t, cache, cross_kvs, self_keep, mem_keep):
         return self.stack.step(x_t, t, cache, cross_kvs, self_keep, mem_keep)

@@ -23,15 +23,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # blocks: q [1, H, Dh], k/v [1, H, Dh, M], o [1, H, Dh]
-    q = q_ref[0].astype(jnp.float32)  # [H, Dh]
-    k = k_ref[0].astype(jnp.float32)  # [H, Dh, M]
-    v = v_ref[0].astype(jnp.float32)
-    scores = jnp.sum(q[:, :, None] * k, axis=1) * scale  # [H, M]
+    # blocks: q [Bb, H, Dh], k/v [Bb, H, Dh, M], o [Bb, H, Dh]
+    q = q_ref[...].astype(jnp.float32)  # [Bb, H, Dh]
+    k = k_ref[...].astype(jnp.float32)  # [Bb, H, Dh, M]
+    v = v_ref[...].astype(jnp.float32)
+    scores = jnp.sum(q[:, :, :, None] * k, axis=2) * scale  # [Bb, H, M]
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jnp.sum(p[:, None, :] * v, axis=2).astype(o_ref.dtype)  # [H, Dh]
+    o_ref[...] = jnp.sum(p[:, :, None, :] * v, axis=3).astype(o_ref.dtype)
+
+
+def _batch_block(B: int) -> int:
+    """Batch rows per grid step.  Measured on v5e (B=1024, M=680, 50-step
+    scan): bb=1 is fastest — the ~350KB per-buffer blocks already saturate
+    the DMA pipeline, and larger blocks (4: +7% decode time) only add VMEM
+    pressure against the self-attn kernel sharing the step."""
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -45,16 +53,17 @@ def fused_decode_attention(
     B, H, Dh = q.shape
     M = k_t.shape[-1]
     scale = Dh**-0.5
+    bb = _batch_block(B)
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, H, Dh), q.dtype),
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((1, H, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Dh, M), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Dh, M), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, Dh, M), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, Dh, M), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, H, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * Dh * M * 2,
             bytes_accessed=2 * B * H * Dh * M * k_t.dtype.itemsize,
@@ -66,6 +75,63 @@ def fused_decode_attention(
 
 def pallas_decode_available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------------
+# shared-memory (weight-folded) cross-attention variant — the decode default
+# --------------------------------------------------------------------------
+
+
+def _shared_kernel(qt_ref, mem_ref, o_ref, *, scale: float):
+    # blocks: qt [1, H, E], mem [1, M, E], o [1, H, E]
+    qt = qt_ref[0]  # [H, E]
+    mem = mem_ref[0]  # [M, E] — the raw encoder memory, read ONCE
+    scores = jax.lax.dot_general(  # [H, M], contract E on the MXU
+        qt, mem, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(mem.dtype)
+    o_ref[0] = jax.lax.dot_general(  # [H, E], contract M on the MXU
+        p, mem, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_decode_shared_attention(
+    q_tilde: jax.Array,  # [B, H, E] — query pre-folded through Wk^T (incl. scale)
+    mem: jax.Array,  # [B, M, E] — shared encoder memory
+    interpret: bool = False,
+) -> jax.Array:
+    """Cross-attention for one decode step reading only the SHARED memory.
+
+    With per-layer K/V caches, N decoder layers stream 2N projected copies
+    of the memory from HBM every step.  Folding Wk into the query
+    (scores_h = (q_h Wk_h^T) mem^T; the K bias is constant across
+    positions and cancels in softmax) and Wv onto the output
+    (out_h = (probs_h mem) Wv_h + bv_h) reduces that to N reads of the raw
+    memory — 2x less HBM traffic on the dominant decode stream, and both
+    contractions (E=d_model, M) run on the MXU.  Returns o_tilde [B, H, E];
+    the caller applies Wv/bv and the output projection.
+    """
+    B, H, E = q_tilde.shape
+    M = mem.shape[1]
+    return pl.pallas_call(
+        functools.partial(_shared_kernel, scale=1.0),
+        out_shape=jax.ShapeDtypeStruct((B, H, E), q_tilde.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * E * M * 2,
+            bytes_accessed=B * M * E * mem.dtype.itemsize,
+            transcendentals=B * H * M,
+        ),
+        interpret=interpret,
+    )(q_tilde, mem)
 
 
 # --------------------------------------------------------------------------

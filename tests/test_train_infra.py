@@ -111,3 +111,38 @@ def test_kv_quant_decode_cpu_path():
                               kv_quant=True))
     # int8 KV is a mild perturbation: most greedy tokens agree on CPU too
     assert (a == b).mean() > 0.6
+
+
+def test_attend_shared_matches_attend_t():
+    """Weight-folded shared-memory cross-attention (the decode default) is
+    mathematically identical to attending over projected K/V caches: the K
+    bias cancels in softmax, the V bias rides through sum(p)=1."""
+    from ralf_tpu.models.nn import MultiHeadAttention
+
+    mha = MultiHeadAttention(d_model=32, nhead=4, dropout=0.0)
+    q_in = jax.random.normal(jax.random.PRNGKey(0), (3, 1, 32))
+    mem = jax.random.normal(jax.random.PRNGKey(1), (3, 20, 32))
+    variables = mha.init(jax.random.PRNGKey(2), q_in, mem)
+
+    def split_path(v, q_in, mem):
+        k_t, v_t = mha.apply(v, mem, method=MultiHeadAttention.project_kv_t)
+        return mha.apply(v, q_in, k_t, v_t, method=MultiHeadAttention.attend_t)
+
+    def shared_path(v, q_in, mem):
+        return mha.apply(v, q_in, mem, method=MultiHeadAttention.attend_shared)
+
+    a = np.asarray(split_path(variables, q_in, mem))
+    b = np.asarray(shared_path(variables, q_in, mem))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # and with a key-keep bias (einsum fallback branch)
+    keep = jnp.asarray(np.random.default_rng(0).random((3, 20)) > 0.3)
+    from ralf_tpu.models.nn import keep_to_bias
+
+    bias = keep_to_bias(keep)[:, None, :]
+    a = np.asarray(mha.apply(variables, q_in, *mha.apply(
+        variables, mem, method=MultiHeadAttention.project_kv_t),
+        bias, method=MultiHeadAttention.attend_t))
+    b = np.asarray(mha.apply(variables, q_in, mem, bias,
+                             method=MultiHeadAttention.attend_shared))
+    np.testing.assert_allclose(a, b, atol=2e-5)
