@@ -205,6 +205,36 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         """q_in [B,S,D], k/v [B,M,H,Dh], bias broadcastable to [B,H,S,M]."""
+        B, S = q_in.shape[:2]
+        M = k.shape[1]
+        # Fused VMEM attention on TPU for the inference encoder case:
+        # same-length self-attention with no bias or a key-keep-only bias
+        # ([B,1,1,M]).  Training and causal/structured-bias paths keep the
+        # autodiff-able einsum formulation below.
+        key_bias = None
+        bias_ok = bias is None
+        if (
+            bias is not None
+            and bias.ndim == 4
+            and bias.shape[1] == 1
+            and bias.shape[2] == 1
+        ):
+            key_bias = jnp.broadcast_to(bias[:, 0, 0, :], (B, M))
+            bias_ok = True
+        if deterministic and bias_ok and S == M and self.use_pallas_decode:
+            from ralf_tpu.ops.pallas.decode_attention import pallas_decode_available
+            from ralf_tpu.ops.pallas.encoder_attention import fused_encoder_attention
+
+            if pallas_decode_available():
+                scale = self.head_dim**-0.5
+                out = fused_encoder_attention(
+                    (self.q_proj(q_in) * scale).astype(self.dtype),
+                    k.reshape(B, M, self.d_model).astype(self.dtype),
+                    v.reshape(B, M, self.d_model).astype(self.dtype),
+                    self.nhead,
+                    key_bias,
+                )  # [B, S, E]
+                return self.out_proj(out)
         q = self._split(self.q_proj(q_in))
         scale = jnp.asarray(self.head_dim, self.dtype) ** -0.5
         logits = jnp.einsum("bshd,bmhd->bhsm", q * scale, k)
@@ -213,7 +243,6 @@ class MultiHeadAttention(nn.Module):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         probs = self.attn_drop(probs, deterministic=deterministic)
         out = jnp.einsum("bhsm,bmhd->bshd", probs, v)
-        B, S = q_in.shape[:2]
         return self.out_proj(out.reshape(B, S, self.d_model))
 
     def __call__(

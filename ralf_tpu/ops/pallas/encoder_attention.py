@@ -1,0 +1,149 @@
+"""Pallas TPU kernel: fused bidirectional self-attention for encoder stacks.
+
+Layout sequences are short (image memory 330 tokens, constraint sequences
+<64, FIDNet layouts 10), so the whole [S, S] score matrix for a batch
+block fits in VMEM.  XLA materializes the fp32 score tensor in HBM
+between the QK matmul, the softmax, and the PV matmul — at B=1024, H=8,
+S=330 that is ~3.6GB per layer per pass of pure round-trip traffic, which
+made the 6-layer ViT encoder ~7x slower than its FLOP bound.  This kernel
+runs score -> (+key bias) -> softmax -> value reduction entirely in VMEM.
+
+Operands stay in the projections' natural [B, S, E] layout (E = H * Dh on
+the 128-lane axis, no padding); heads are split by static lane slices
+inside VMEM.  Transposing to a head-major layout in HBM instead costs 4
+minor-dim transposes per layer, which measured ~3x the kernel's own
+runtime, and [.., Dh=32] layouts pad HBM tiles 4x.
+
+Inference-only (no custom VJP): callers gate on `deterministic` so the
+training path keeps XLA's autodiff-able einsum formulation.
+
+Supported bias: an optional per-key additive vector [B, S] (the
+key-padding "keep" mask).  Causal or arbitrary [S, S] biases use the XLA
+path (the AR decode never calls this kernel — it has its own single-query
+kernels in decode_attention.py).
+
+Mosaic constraint (this TPU toolchain): ADDING a [bb, 1, S] vector to the
+MXU dot output aborts the compiler ("limits <= dim" SIGABRT) at any
+S > ~8, in every formulation tried (pre- or post-copy, slice or
+broadcast) — while MULTIPLYING the same shape after the exp compiles and
+runs.  The kernel therefore receives exp(bias) "keep weights" and
+computes p = exp(scores - m) * w, which is exactly softmax with additive
+masking (m is the global row max, so exp(scores - m) <= 1 and stability
+holds; w in {0, 1} for keep masks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attend_block(q, k, v, keep_w, o_ref, nhead: int):
+    # q/k/v [Bb, S, E] (scale pre-folded into q); keep_w [Bb, 1, S] exp(bias)
+    # multiplied in AFTER the exp (see module docstring).  Each head's output
+    # is stored straight into its o_ref lane slice — holding all H lane-padded
+    # [Bb, S, Dh] head buffers for a final concat OOMs scoped VMEM at small S.
+    Bb, S, E = q.shape
+    Dh = E // nhead
+    for h in range(nhead):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        scores = jax.lax.dot_general(  # [Bb, S_q, S_k], contract Dh lanes
+            q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        if keep_w is not None:
+            p = p * keep_w
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o_ref[..., sl] = jax.lax.dot_general(  # [Bb, S_q, Dh], contract S_k
+            p, v[..., sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, nhead: int):
+    _attend_block(q_ref[...], k_ref[...], v_ref[...], None, o_ref, nhead)
+
+
+def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, nhead: int):
+    _attend_block(
+        q_ref[...], k_ref[...], v_ref[...], b_ref[:, 0:1, :], o_ref, nhead
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _batch_block(B: int, H: int, S: int, E: int, itemsize: int) -> int:
+    """Batch rows per grid step, sized against the 16MB scoped-VMEM limit
+    using PADDED tile shapes (sublane 8 / lane 128 — at S=4 the f32 score
+    tile is 1024x the nominal bytes).  Budget covers the live score + prob
+    tiles, the double-buffered q/k/v/o blocks, and one head accumulator."""
+    budget = 6 * 1024 * 1024
+    ss, sl = _round_up(S, 8), _round_up(S, 128)
+    ep = _round_up(E, 128)
+    per_row = (
+        2 * ss * sl * 4  # scores + p (f32)
+        + 2 * 4 * ss * ep * itemsize  # q/k/v/o blocks, double-buffered
+        + ss * _round_up(E // H, 128) * 4  # per-head PV accumulator
+    )
+    bb = max(1, budget // per_row)
+    while B % bb:
+        bb -= 1
+    return bb
+
+
+@functools.partial(jax.jit, static_argnames=("nhead", "interpret"))
+def fused_encoder_attention(
+    q: jax.Array,  # [B, S, E] — scale already applied
+    k: jax.Array,  # [B, S, E]
+    v: jax.Array,  # [B, S, E]
+    nhead: int,
+    key_bias: jax.Array | None = None,  # [B, S] additive (0 keep / -inf drop)
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head softmax(q k^T + key_bias) v fused in VMEM -> [B, S, E]."""
+    B, S, E = q.shape
+    bb = _batch_block(B, nhead, S, E, q.dtype.itemsize)
+    qkv_spec = pl.BlockSpec((bb, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    Dh = E // nhead
+    flops = 2 * B * S * S * E * 2
+    bytes_acc = 4 * B * S * E * q.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=bytes_acc, transcendentals=B * nhead * S * S
+    )
+    if key_bias is None:
+        return pl.pallas_call(
+            functools.partial(_kernel, nhead=nhead),
+            out_shape=jax.ShapeDtypeStruct((B, S, E), q.dtype),
+            grid=(B // bb,),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec],
+            out_specs=qkv_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+    # bias rides as exp(bias) keep-weights shaped [B, 8, S]: a size-1
+    # sublane dim in a VMEM operand is rejected by the tiling rules, and
+    # 8 identical rows cost nothing at this size.  exp(-1e9) underflows
+    # to exactly 0.0, exp(0) == 1.0 — the multiplicative form of the mask.
+    keep_w = jnp.exp(key_bias.astype(jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_kernel_bias, nhead=nhead),
+        out_shape=jax.ShapeDtypeStruct((B, S, E), q.dtype),
+        grid=(B // bb,),
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((bb, 8, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v, jnp.broadcast_to(keep_w[:, None, :], (B, 8, S)))

@@ -88,3 +88,37 @@ def test_cached_step_respects_pad_mask():
     a = run(seq, True)
     b = run(seq.at[:, pad_pos].set(9), True)
     np.testing.assert_allclose(np.asarray(a[:, 3:]), np.asarray(b[:, 3:]), atol=1e-5)
+
+
+def test_fused_encoder_attention_parity_interpret():
+    # Pallas VMEM encoder self-attention (interpret mode) must match the
+    # plain einsum softmax attention, with and without a key-keep bias.
+    from ralf_tpu.ops.pallas.encoder_attention import fused_encoder_attention
+
+    B, S, H, Dh = 6, 12, 4, 8
+    E = H * Dh
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (B, S, E), jnp.float32)
+    k = jax.random.normal(kk, (B, S, E), jnp.float32)
+    v = jax.random.normal(kv, (B, S, E), jnp.float32)
+
+    def ref(q, k, v, key_bias):
+        qh = q.reshape(B, S, H, Dh)
+        kh = k.reshape(B, S, H, Dh)
+        vh = v.reshape(B, S, H, Dh)
+        logits = jnp.einsum("bshd,bmhd->bhsm", qh, kh)
+        if key_bias is not None:
+            logits = logits + key_bias[:, None, None, :]
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhsm,bmhd->bshd", p, vh).reshape(B, S, E)
+
+    out = fused_encoder_attention(q, k, v, H, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q, k, v, None)),
+                               atol=1e-5, rtol=1e-5)
+
+    keep = jnp.ones((B, S), bool).at[2, 8:].set(False).at[5, 1:].set(False)
+    bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+    out_b = fused_encoder_attention(q, k, v, H, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref(q, k, v, bias)),
+                               atol=1e-5, rtol=1e-5)
