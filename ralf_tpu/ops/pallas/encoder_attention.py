@@ -84,8 +84,11 @@ def _batch_block(B: int, H: int, S: int, E: int, itemsize: int) -> int:
     """Batch rows per grid step, sized against the 16MB scoped-VMEM limit
     using PADDED tile shapes (sublane 8 / lane 128 — at S=4 the f32 score
     tile is 1024x the nominal bytes).  Budget covers the live score + prob
-    tiles, the double-buffered q/k/v/o blocks, and one head accumulator."""
-    budget = 6 * 1024 * 1024
+    tiles, the double-buffered q/k/v/o blocks, and one head accumulator.
+    Budget 12MB of the 16MB scoped limit: S=330 must get bb=4 — bb=2 makes
+    512 tiny grid steps and measured 76.8ms/layer (vs ~1ms at bb=4), while
+    bb=8 exceeds scoped VMEM at compile."""
+    budget = 12 * 1024 * 1024
     ss, sl = _round_up(S, 8), _round_up(S, 128)
     ep = _round_up(E, 128)
     per_row = (
@@ -99,7 +102,7 @@ def _batch_block(B: int, H: int, S: int, E: int, itemsize: int) -> int:
     return bb
 
 
-@functools.partial(jax.jit, static_argnames=("nhead", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nhead", "interpret", "block_b"))
 def fused_encoder_attention(
     q: jax.Array,  # [B, S, E] — scale already applied
     k: jax.Array,  # [B, S, E]
@@ -107,10 +110,11 @@ def fused_encoder_attention(
     nhead: int,
     key_bias: jax.Array | None = None,  # [B, S] additive (0 keep / -inf drop)
     interpret: bool = False,
+    block_b: int | None = None,  # override rows/grid-step (must divide B)
 ) -> jax.Array:
     """Multi-head softmax(q k^T + key_bias) v fused in VMEM -> [B, S, E]."""
     B, S, E = q.shape
-    bb = _batch_block(B, nhead, S, E, q.dtype.itemsize)
+    bb = block_b or _batch_block(B, nhead, S, E, q.dtype.itemsize)
     qkv_spec = pl.BlockSpec((bb, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     Dh = E // nhead
     flops = 2 * B * S * S * E * 2
