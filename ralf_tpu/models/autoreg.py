@@ -126,8 +126,11 @@ class AutoregCore(nn.Module):
     ) -> jax.Array:
         img_mem = self.encoder(image, train=train)  # [B, M, D]
         const_mem = self.const_encoder(const_seq, const_keep, train=train)
-        img_mem = img_mem + self.flag_emb[0]
-        const_mem = const_mem + self.flag_emb[1]
+        # cast the f32 flag params down — a raw add upcasts the memory to
+        # f32, doubling the decode scan's per-step HBM stream
+        flag = self.flag_emb.astype(img_mem.dtype)
+        img_mem = img_mem + flag[0]
+        const_mem = const_mem + flag[1]
         # NOTE (parity): the reference decoder cross-attends the concatenated
         # memory WITHOUT a padding mask (`common/common.py:116-129`), so
         # padded constraint rows stay visible here too.

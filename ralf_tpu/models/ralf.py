@@ -215,8 +215,12 @@ class RALFCore(nn.Module):
         else:
             raise ValueError(self.fusion)
         const = self.const_encoder(const_seq, const_keep, train=train)
-        fused = fused + self.flag_emb[0]
-        const = const + self.flag_emb[1]
+        # keep the memory in compute dtype: adding the f32 flag params raw
+        # upcasts the whole [B, 2M+K+Lc, D] memory to f32, doubling both the
+        # encode materialization and the decode scan's per-step HBM stream
+        flag = self.flag_emb.astype(fused.dtype)
+        fused = fused + flag[0]
+        const = const + flag[1]
         return jnp.concatenate([fused, const], axis=1)
 
     def __call__(
