@@ -167,13 +167,68 @@ class MultiHeadAttention(nn.Module):
         )
         return self.out_proj(out.reshape(B, 1, self.d_model))
 
+    def attend_shared_q8(
+        self,
+        q_in: jax.Array,  # [B, 1, D]
+        mem_i8: jax.Array,  # [B, M, E] int8 shared memory
+        mem_scale: jax.Array,  # [B, M] f32 per-token dequant scale
+        bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """attend_shared over int8-quantized shared memory (one quantized
+        copy serves every decoder layer — half the bytes of the bf16
+        shared path on the dominant decode stream).  Per-token scales
+        enter as elementwise multiplies on the score/prob tiles."""
+        B = q_in.shape[0]
+        E = mem_i8.shape[-1]
+        q = self._split(self.q_proj(q_in))[:, 0]  # [B, H, Dh]
+        wk = self.k_proj.variables["params"]["kernel"].reshape(
+            E, self.nhead, self.head_dim
+        )
+        scale = self.head_dim**-0.5
+        qt = jnp.einsum(
+            "bhd,ehd->bhe", q.astype(jnp.float32) * scale, wk.astype(jnp.float32)
+        ).astype(self.dtype)
+        ot = None
+        if bias is None and self.use_pallas_decode:
+            from ralf_tpu.ops.pallas.decode_attention import (
+                fused_decode_shared_attention_q8,
+                pallas_decode_available,
+            )
+
+            if pallas_decode_available():
+                ot = fused_decode_shared_attention_q8(qt, mem_i8, mem_scale)
+        if ot is None:  # reference path (CPU tests / bias)
+            memf = mem_i8.astype(jnp.float32) * mem_scale[:, :, None]
+            scores = jnp.einsum("bhe,bme->bhm", qt.astype(jnp.float32), memf)
+            if bias is not None:
+                scores = scores + bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ot = jnp.einsum("bhm,bme->bhe", probs, memf).astype(self.dtype)
+        ot = ot.astype(jnp.float32)
+        wv = self.v_proj.variables["params"]["kernel"].reshape(
+            E, self.nhead, self.head_dim
+        )
+        bv = self.v_proj.variables["params"]["bias"].reshape(
+            self.nhead, self.head_dim
+        )
+        out = (
+            jnp.einsum(
+                "bhe,ehd->bhd", ot.astype(self.dtype), wv.astype(self.dtype)
+            )
+            + bv.astype(self.dtype)
+        )
+        return self.out_proj(out.reshape(B, 1, self.d_model))
+
     def attend_t_any(self, q_in: jax.Array, cross,
                      bias: Optional[jax.Array] = None) -> jax.Array:
-        """attend_t over a shared-memory array (weight-folded path), a plain
-        (k, v) pair, or an int8-quantized (k, v, k_scale, v_scale) cache
-        (bias only supported on the shared / unquantized paths)."""
+        """attend_t over a shared-memory array (weight-folded path), an
+        int8 shared pair (mem_i8 [B,M,E], scale [B]), a plain (k, v) pair,
+        or an int8-quantized (k, v, k_scale, v_scale) cache (bias only
+        supported on the shared / unquantized paths)."""
         if isinstance(cross, jax.Array):
             return self.attend_shared(q_in, cross, bias)
+        if len(cross) == 2 and cross[0].ndim == 3:  # (mem_i8, scale)
+            return self.attend_shared_q8(q_in, cross[0], cross[1], bias)
         if len(cross) == 2:
             return self.attend_t(q_in, cross[0], cross[1], bias)
         assert bias is None, "int8 KV path has no bias support"
@@ -517,8 +572,16 @@ class TransformerDecoder(nn.Module):
         """Decode-time cross-attention operand.  Default 'shared': the raw
         memory itself (weight-folded attention, see
         MultiHeadAttention.attend_shared — one HBM stream for all layers).
-        shared=False precomputes per-layer K/V caches (optionally int8)."""
-        if shared and not kv_quant:
+        shared + kv_quant: ONE int8 copy of the memory shared by all
+        layers (half the bytes again).  shared=False precomputes per-layer
+        K/V caches (optionally int8)."""
+        if shared and kv_quant:
+            from ralf_tpu.ops.pallas.decode_attention import (
+                quantize_shared_memory,
+            )
+
+            return quantize_shared_memory(memory)
+        if shared:
             return memory.astype(self.dtype)
         return [layer.cross_kv(memory, kv_quant) for layer in self.layers]
 
@@ -535,7 +598,11 @@ class TransformerDecoder(nn.Module):
         mem_bias = (
             keep_to_bias(mem_keep)[:, None, :] if mem_keep is not None else None
         )
-        shared = isinstance(cross_kvs, jax.Array)
+        shared = isinstance(cross_kvs, jax.Array) or (
+            isinstance(cross_kvs, tuple)
+            and len(cross_kvs) == 2
+            and cross_kvs[0].ndim == 3  # (mem_i8 [B,M,E], scale [B])
+        )
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             x_t, ck, cv = layer.step(

@@ -135,6 +135,80 @@ def fused_decode_shared_attention(
 
 
 # --------------------------------------------------------------------------
+# int8-quantized SHARED-memory variant (halves the dominant decode stream)
+# --------------------------------------------------------------------------
+
+
+def quantize_shared_memory(mem: jax.Array):
+    """[B, M, E] -> (int8 [B, M, E], per-TOKEN f32 scale [B, M]).
+
+    Symmetric absmax over each token's E-vector.  True memory is
+    memf[m] = s_m * mi[m]; both uses of s_m are elementwise multiplies on
+    [H, M]-shaped tiles inside the kernel (scores_m = s_m * (qt . mi_m)
+    before softmax, p_m <- p_m * s_m before the PV dot) — same-shape VMEM
+    elementwise ops, no MXU-output broadcasts (which SIGABRT this Mosaic
+    toolchain, see encoder_attention.py).
+    """
+    absmax = jnp.max(jnp.abs(mem.astype(jnp.float32)), axis=2)  # [B, M]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    mi = jnp.clip(
+        jnp.round(mem.astype(jnp.float32) / scale[:, :, None]), -127, 127
+    )
+    return mi.astype(jnp.int8), scale
+
+
+def _shared_kernel_q8(qt_ref, mem_ref, s_ref, o_ref, *, compute_dtype):
+    # blocks: qt [1, H, E] (Wk pre-folded), mem int8 [1, M, E], s [1, H, M]
+    qt = qt_ref[0]
+    # int8 -> f32 -> compute dtype: the VPU conversion is the kernel's
+    # bound (int8 bytes stream at ~425GB/s effective vs 626 for bf16 —
+    # BENCH_NOTES), but the stream itself is half the bf16 bytes.
+    mem = mem_ref[0].astype(jnp.float32).astype(compute_dtype)  # [M, E]
+    s = s_ref[0]  # [H, M] f32, per-token scale replicated over heads
+    scores = jax.lax.dot_general(
+        qt, mem, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * s
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = (p * s).astype(compute_dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, mem, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_decode_shared_attention_q8(
+    q_tilde: jax.Array,  # [B, H, E] — query pre-folded through Wk^T (+ 1/sqrt(Dh))
+    mem_i8: jax.Array,  # [B, M, E] int8 shared memory
+    mem_scale: jax.Array,  # [B, M] f32 per-token dequant scale
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 shared-memory attention step -> o_tilde [B, H, E] (dequantized;
+    the caller applies Wv/bv and the output projection)."""
+    B, H, E = q_tilde.shape
+    M = mem_i8.shape[1]
+    s_h = jnp.broadcast_to(mem_scale[:, None, :], (B, H, M)).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_shared_kernel_q8, compute_dtype=q_tilde.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, E), q_tilde.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * E * M * 2,
+            bytes_accessed=B * M * E + 4 * B * H * M,
+            transcendentals=B * H * M,
+        ),
+        interpret=interpret,
+    )(q_tilde, mem_i8, s_h)
+
+
+# --------------------------------------------------------------------------
 # int8-quantized K/V variant
 # --------------------------------------------------------------------------
 

@@ -146,3 +146,46 @@ def test_attend_shared_matches_attend_t():
     b = np.asarray(mha.apply(variables, q_in, mem, bias,
                              method=MultiHeadAttention.attend_shared))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_attend_shared_q8_close_to_shared():
+    """int8 shared-memory attention (one quantized copy for all layers)
+    approximates the bf16 shared path within quantization error, and the
+    (mem_i8, scale) operand routes correctly through attend_t_any."""
+    from ralf_tpu.models.nn import MultiHeadAttention
+    from ralf_tpu.ops.pallas.decode_attention import quantize_shared_memory
+
+    mha = MultiHeadAttention(d_model=32, nhead=4, dropout=0.0)
+    q_in = jax.random.normal(jax.random.PRNGKey(0), (3, 1, 32))
+    mem = jax.random.normal(jax.random.PRNGKey(1), (3, 20, 32))
+    variables = mha.init(jax.random.PRNGKey(2), q_in, mem)
+
+    a = np.asarray(
+        mha.apply(variables, q_in, mem, method=MultiHeadAttention.attend_shared)
+    )
+    mi, sc = quantize_shared_memory(mem)
+    assert mi.dtype == jnp.int8 and sc.shape == (3, 20)
+    # per-token dequantization error bound of the memory itself
+    np.testing.assert_allclose(
+        np.asarray(mi, np.float32) * np.asarray(sc)[:, :, None],
+        np.asarray(mem), atol=float(np.max(np.asarray(sc))) * 0.51,
+    )
+    b = np.asarray(
+        mha.apply(variables, q_in, (mi, sc), method=MultiHeadAttention.attend_t_any)
+    )
+    np.testing.assert_allclose(a, b, atol=0.02, rtol=0.02)
+
+
+def test_decode_mem_quant_cpu_path():
+    """ar_decode with kv_quant now routes through the int8 SHARED memory;
+    greedy decodes stay close to the bf16 shared path."""
+    tok = LayoutSequenceTokenizer(TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16))
+    gen = AutoregGenerator(tok, TINY, "uncond", image_hw=HW)
+    variables = gen.init(jax.random.PRNGKey(0))
+    memory = jax.random.normal(jax.random.PRNGKey(1), (2, 20, 32))
+    forced = jnp.full((2, tok.max_token_length), -1, jnp.int32)
+    det = SamplingConfig(name="deterministic")
+    a = np.asarray(gen.decode(variables, memory, forced, det, jax.random.PRNGKey(0)))
+    b = np.asarray(gen.decode(variables, memory, forced, det, jax.random.PRNGKey(0),
+                              kv_quant=True))
+    assert (a == b).mean() > 0.6
