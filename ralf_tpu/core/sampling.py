@@ -42,7 +42,8 @@ def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
 
 
 def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
-    """Nucleus filtering; always keeps the argmax."""
+    """Nucleus filtering; always keeps the argmax.  (Sort formulation —
+    kept as the reference/test oracle for top_p_filter_bisect.)"""
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
     # keep sorted positions whose prefix mass <= p; position 0 always kept
@@ -52,6 +53,37 @@ def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
         jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
     )
     return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def top_p_filter_bisect(logits: jax.Array, p: float, iters: int = 26) -> jax.Array:
+    """Sort-free nucleus filtering (the decode-scan default on TPU).
+
+    The nucleus {i : cumsum_desc(prob)_i <= p} equals {i : prob_i >= t*}
+    for the smallest threshold t* with S(t) = sum(prob[prob >= t]) <= p,
+    because S is monotone decreasing in t.  Binary search on t needs only
+    masked sums — no [.., V] sort, which costs ~0.23ms/step on the v5e
+    decode scan.  26 iterations shrink the bracket to maxprob * 2^-26,
+    far below the generic gap between adjacent float probabilities.
+    Ties at the exact threshold keep ALL tied tokens (the sort keeps one);
+    identical on non-degenerate inputs.
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    maxp = jnp.max(probs, axis=-1, keepdims=True)
+    lo = jnp.zeros_like(maxp)  # S(0) = 1 > p (for p < 1)
+    hi = maxp  # if S(maxp) > p only the argmax survives (thresh = maxp)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(
+            jnp.where(probs >= mid, probs, 0.0), axis=-1, keepdims=True
+        )
+        over = mass > p  # t* lies above mid
+        return jnp.where(over, mid, lo), jnp.where(over, hi, mid)
+
+    _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    thresh = jnp.minimum(hi, maxp)  # always keep the argmax
+    return jnp.where(probs < thresh, NEG_INF, logits)
 
 
 def _nucleus_sample_prefiltered(
@@ -94,7 +126,7 @@ def sample(
     if cfg.name == "top_k":
         scaled = top_k_filter(scaled, cfg.top_k)
     elif cfg.name == "top_p":
-        scaled = top_p_filter(scaled, cfg.top_p)
+        scaled = top_p_filter_bisect(scaled, cfg.top_p)
     elif cfg.name == "gumbel":
         # the reference adds gumbel noise and then *samples* from the noisy
         # softmax (`sampling.py:57-62`) — i.e. doubly stochastic

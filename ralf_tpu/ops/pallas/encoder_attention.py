@@ -42,37 +42,49 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attend_block(q, k, v, keep_w, o_ref, nhead: int):
+def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0):
     # q/k/v [Bb, S, E] (scale pre-folded into q); keep_w [Bb, 1, S] exp(bias)
     # multiplied in AFTER the exp (see module docstring).  Each head's output
     # is stored straight into its o_ref lane slice — holding all H lane-padded
     # [Bb, S, Dh] head buffers for a final concat OOMs scoped VMEM at small S.
+    # q_chunk > 0 additionally tiles the query dim so only a [Bb, q_chunk, S]
+    # score tile is live at a time, letting the batch block grow.
     Bb, S, E = q.shape
     Dh = E // nhead
+    chunks = [(0, S)]
+    if 0 < q_chunk < S:
+        chunks = [(c, min(q_chunk, S - c)) for c in range(0, S, q_chunk)]
     for h in range(nhead):
         sl = slice(h * Dh, (h + 1) * Dh)
-        scores = jax.lax.dot_general(  # [Bb, S_q, S_k], contract Dh lanes
-            q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        if keep_w is not None:
-            p = p * keep_w
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-        o_ref[..., sl] = jax.lax.dot_general(  # [Bb, S_q, Dh], contract S_k
-            p, v[..., sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        kh, vh = k[..., sl], v[..., sl]
+        for c0, cn in chunks:
+            qc = slice(c0, c0 + cn)
+            scores = jax.lax.dot_general(  # [Bb, cn, S_k], contract Dh lanes
+                q[:, qc, sl], kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)
+            if keep_w is not None:
+                p = p * keep_w
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+            o_ref[:, qc, sl] = jax.lax.dot_general(  # [Bb, cn, Dh]
+                p, vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, nhead: int):
-    _attend_block(q_ref[...], k_ref[...], v_ref[...], None, o_ref, nhead)
-
-
-def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, nhead: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, nhead: int, q_chunk: int = 0):
     _attend_block(
-        q_ref[...], k_ref[...], v_ref[...], b_ref[:, 0:1, :], o_ref, nhead
+        q_ref[...], k_ref[...], v_ref[...], None, o_ref, nhead, q_chunk
+    )
+
+
+def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, nhead: int,
+                 q_chunk: int = 0):
+    _attend_block(
+        q_ref[...], k_ref[...], v_ref[...], b_ref[:, 0:1, :], o_ref, nhead,
+        q_chunk
     )
 
 
@@ -80,20 +92,31 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _batch_block(B: int, H: int, S: int, E: int, itemsize: int) -> int:
+def _q_chunk(S: int) -> int:
+    """Query-dim tiling is DISABLED by default: every chunked variant
+    (q_chunk 32/64/128 x bb 8-32 at S=330) aborts this Mosaic toolchain at
+    compile — the ragged final chunk's partial-sublane o_ref store is the
+    suspected trigger.  The q_chunk parameter remains for experimentation
+    (interpret mode and CPU are fine)."""
+    return 0
+
+
+def _batch_block(B: int, H: int, S: int, E: int, itemsize: int,
+                 q_chunk: int = 0) -> int:
     """Batch rows per grid step, sized against the 16MB scoped-VMEM limit
     using PADDED tile shapes (sublane 8 / lane 128 — at S=4 the f32 score
     tile is 1024x the nominal bytes).  Budget covers the live score + prob
     tiles, the double-buffered q/k/v/o blocks, and one head accumulator.
-    Budget 12MB of the 16MB scoped limit: S=330 must get bb=4 — bb=2 makes
-    512 tiny grid steps and measured 76.8ms/layer (vs ~1ms at bb=4), while
-    bb=8 exceeds scoped VMEM at compile."""
+    Budget 12MB of the 16MB scoped limit: at S=330 un-chunked this gives
+    bb=4 — bb=2 makes 512 tiny grid steps and measured 76.8ms/layer (vs
+    ~1ms at bb=4), while bb=8 un-chunked fails to compile (scoped OOM)."""
     budget = 12 * 1024 * 1024
-    ss, sl = _round_up(S, 8), _round_up(S, 128)
+    sq = min(S, q_chunk) if q_chunk else S
+    ss, sl = _round_up(sq, 8), _round_up(S, 128)
     ep = _round_up(E, 128)
     per_row = (
         2 * ss * sl * 4  # scores + p (f32)
-        + 2 * 4 * ss * ep * itemsize  # q/k/v/o blocks, double-buffered
+        + 2 * 4 * _round_up(S, 8) * ep * itemsize  # q/k/v/o blocks, 2x-buffered
         + ss * _round_up(E // H, 128) * 4  # per-head PV accumulator
     )
     bb = max(1, budget // per_row)
@@ -102,7 +125,9 @@ def _batch_block(B: int, H: int, S: int, E: int, itemsize: int) -> int:
     return bb
 
 
-@functools.partial(jax.jit, static_argnames=("nhead", "interpret", "block_b"))
+@functools.partial(
+    jax.jit, static_argnames=("nhead", "interpret", "block_b", "q_chunk")
+)
 def fused_encoder_attention(
     q: jax.Array,  # [B, S, E] — scale already applied
     k: jax.Array,  # [B, S, E]
@@ -111,12 +136,13 @@ def fused_encoder_attention(
     key_bias: jax.Array | None = None,  # [B, S] additive (0 keep / -inf drop)
     interpret: bool = False,
     block_b: int | None = None,  # override rows/grid-step (must divide B)
+    q_chunk: int | None = None,  # override query-dim tile inside the kernel
 ) -> jax.Array:
     """Multi-head softmax(q k^T + key_bias) v fused in VMEM -> [B, S, E]."""
     B, S, E = q.shape
-    bb = block_b or _batch_block(B, nhead, S, E, q.dtype.itemsize)
+    qc = _q_chunk(S) if q_chunk is None else q_chunk
+    bb = block_b or _batch_block(B, nhead, S, E, q.dtype.itemsize, qc)
     qkv_spec = pl.BlockSpec((bb, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-    Dh = E // nhead
     flops = 2 * B * S * S * E * 2
     bytes_acc = 4 * B * S * E * q.dtype.itemsize
     cost = pl.CostEstimate(
@@ -124,7 +150,7 @@ def fused_encoder_attention(
     )
     if key_bias is None:
         return pl.pallas_call(
-            functools.partial(_kernel, nhead=nhead),
+            functools.partial(_kernel, nhead=nhead, q_chunk=qc),
             out_shape=jax.ShapeDtypeStruct((B, S, E), q.dtype),
             grid=(B // bb,),
             in_specs=[qkv_spec, qkv_spec, qkv_spec],
@@ -138,7 +164,7 @@ def fused_encoder_attention(
     # to exactly 0.0, exp(0) == 1.0 — the multiplicative form of the mask.
     keep_w = jnp.exp(key_bias.astype(jnp.float32))
     return pl.pallas_call(
-        functools.partial(_kernel_bias, nhead=nhead),
+        functools.partial(_kernel_bias, nhead=nhead, q_chunk=qc),
         out_shape=jax.ShapeDtypeStruct((B, S, E), q.dtype),
         grid=(B // bb,),
         in_specs=[

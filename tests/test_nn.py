@@ -122,3 +122,19 @@ def test_fused_encoder_attention_parity_interpret():
     out_b = fused_encoder_attention(q, k, v, H, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref(q, k, v, bias)),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_encoder_attention_q_chunk_interpret():
+    # query-dim tiled variant (experimental on TPU) matches the reference
+    from ralf_tpu.ops.pallas.encoder_attention import fused_encoder_attention
+
+    B, S, H, Dh = 4, 20, 4, 8
+    E = H * Dh
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (B, S, E), jnp.float32)
+    k = jax.random.normal(kk, (B, S, E), jnp.float32)
+    v = jax.random.normal(kv, (B, S, E), jnp.float32)
+    full = fused_encoder_attention(q, k, v, H, None, interpret=True)
+    chunked = fused_encoder_attention(q, k, v, H, None, interpret=True, q_chunk=8)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-5, rtol=1e-5)
