@@ -82,19 +82,22 @@ def pallas_decode_available() -> bool:
 # --------------------------------------------------------------------------
 
 
-def _shared_kernel(qt_ref, mem_ref, o_ref, *, scale: float):
-    # blocks: qt [1, H, E], mem [1, M, E], o [1, H, E]
-    qt = qt_ref[0]  # [H, E]
-    mem = mem_ref[0]  # [M, E] — the raw encoder memory, read ONCE
-    scores = jax.lax.dot_general(  # [H, M], contract E on the MXU
-        qt, mem, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(mem.dtype)
-    o_ref[0] = jax.lax.dot_general(  # [H, E], contract M on the MXU
-        p, mem, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+def _shared_kernel(qt_ref, mem_ref, o_ref, *, scale: float, bb: int = 1):
+    # blocks: qt [bb, H, E], mem [bb, M, E], o [bb, H, E].  bb=2 measured
+    # 0.63ms vs 0.75ms per call at B=1024/M=680 (fewer grid steps amortize
+    # the per-step fixed cost; ~565GB/s effective, near the HBM roofline).
+    for i in range(bb):
+        qt = qt_ref[i]  # [H, E]
+        mem = mem_ref[i]  # [M, E] — the raw encoder memory, read ONCE
+        scores = jax.lax.dot_general(  # [H, M], contract E on the MXU
+            qt, mem, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(mem.dtype)
+        o_ref[i] = jax.lax.dot_general(  # [H, E], contract M on the MXU
+            p, mem, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -116,15 +119,16 @@ def fused_decode_shared_attention(
     """
     B, H, E = q_tilde.shape
     M = mem.shape[1]
+    bb = 2 if B % 2 == 0 else 1
     return pl.pallas_call(
-        functools.partial(_shared_kernel, scale=1.0),
+        functools.partial(_shared_kernel, scale=1.0, bb=bb),
         out_shape=jax.ShapeDtypeStruct((B, H, E), q_tilde.dtype),
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, M, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * E * M * 2,
             bytes_accessed=B * M * E * mem.dtype.itemsize,
@@ -157,24 +161,26 @@ def quantize_shared_memory(mem: jax.Array):
     return mi.astype(jnp.int8), scale
 
 
-def _shared_kernel_q8(qt_ref, mem_ref, s_ref, o_ref, *, compute_dtype):
-    # blocks: qt [1, H, E] (Wk pre-folded), mem int8 [1, M, E], s [1, H, M]
-    qt = qt_ref[0]
-    # int8 -> f32 -> compute dtype: the VPU conversion is the kernel's
-    # bound (int8 bytes stream at ~425GB/s effective vs 626 for bf16 —
-    # BENCH_NOTES), but the stream itself is half the bf16 bytes.
-    mem = mem_ref[0].astype(jnp.float32).astype(compute_dtype)  # [M, E]
-    s = s_ref[0]  # [H, M] f32, per-token scale replicated over heads
-    scores = jax.lax.dot_general(
-        qt, mem, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * s
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    p = (p * s).astype(compute_dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p, mem, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+def _shared_kernel_q8(qt_ref, mem_ref, s_ref, o_ref, *, compute_dtype,
+                      bb: int = 1):
+    # blocks: qt [bb, H, E] (Wk pre-folded), mem int8 [bb, M, E], s [bb, H, M]
+    for i in range(bb):
+        qt = qt_ref[i]
+        # int8 -> f32 -> compute dtype: the VPU conversion is the kernel's
+        # bound (int8 bytes stream at ~425GB/s effective vs 626 for bf16 —
+        # BENCH_NOTES), but the stream itself is half the bf16 bytes.
+        mem = mem_ref[i].astype(jnp.float32).astype(compute_dtype)  # [M, E]
+        s = s_ref[i]  # [H, M] f32, per-token scale replicated over heads
+        scores = jax.lax.dot_general(
+            qt, mem, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * s
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = (p * s).astype(compute_dtype)
+        o_ref[i] = jax.lax.dot_general(
+            p, mem, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -188,17 +194,20 @@ def fused_decode_shared_attention_q8(
     the caller applies Wv/bv and the output projection)."""
     B, H, E = q_tilde.shape
     M = mem_i8.shape[1]
+    bb = 2 if B % 2 == 0 else 1
     s_h = jnp.broadcast_to(mem_scale[:, None, :], (B, H, M)).astype(jnp.float32)
     return pl.pallas_call(
-        functools.partial(_shared_kernel_q8, compute_dtype=q_tilde.dtype),
+        functools.partial(
+            _shared_kernel_q8, compute_dtype=q_tilde.dtype, bb=bb
+        ),
         out_shape=jax.ShapeDtypeStruct((B, H, E), q_tilde.dtype),
-        grid=(B,),
+        grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, M, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * E * M * 2,
             bytes_accessed=B * M * E + 4 * B * H * M,
