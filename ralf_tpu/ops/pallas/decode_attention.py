@@ -83,9 +83,10 @@ def pallas_decode_available() -> bool:
 
 
 def _shared_kernel(qt_ref, mem_ref, o_ref, *, scale: float, bb: int = 1):
-    # blocks: qt [bb, H, E], mem [bb, M, E], o [bb, H, E].  bb=2 measured
-    # 0.63ms vs 0.75ms per call at B=1024/M=680 (fewer grid steps amortize
-    # the per-step fixed cost; ~565GB/s effective, near the HBM roofline).
+    # blocks: qt [bb, H, E], mem [bb, M, E], o [bb, H, E].  Fewer grid
+    # steps amortize the per-step fixed cost: end-to-end bench sweep at
+    # B=1024/M=680 gave 2091/s (bb=2), 2200 (bb=4), 2233 (bb=8),
+    # 2208 (bb=16) — bb=8 is the knee.
     for i in range(bb):
         qt = qt_ref[i]  # [H, E]
         mem = mem_ref[i]  # [M, E] — the raw encoder memory, read ONCE
@@ -119,7 +120,7 @@ def fused_decode_shared_attention(
     """
     B, H, E = q_tilde.shape
     M = mem.shape[1]
-    bb = 2 if B % 2 == 0 else 1
+    bb = max(b for b in (8, 4, 2, 1) if B % b == 0)
     return pl.pallas_call(
         functools.partial(_shared_kernel, scale=1.0, bb=bb),
         out_shape=jax.ShapeDtypeStruct((B, H, E), q_tilde.dtype),
@@ -194,7 +195,7 @@ def fused_decode_shared_attention_q8(
     the caller applies Wv/bv and the output projection)."""
     B, H, E = q_tilde.shape
     M = mem_i8.shape[1]
-    bb = 2 if B % 2 == 0 else 1
+    bb = max(b for b in (8, 4, 2, 1) if B % b == 0)
     s_h = jnp.broadcast_to(mem_scale[:, None, :], (B, H, M)).astype(jnp.float32)
     return pl.pallas_call(
         functools.partial(
