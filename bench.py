@@ -60,7 +60,11 @@ def main() -> None:
             variables, image, retrieved, const_seq, const_keep, False,
             method=RALFCore.encode_memory,
         )
-        return gen.decode(variables, memory, forced, sampling, key)
+        # int8 shared-memory decode: quality-gated on trained synthetic
+        # checkpoints (alignment delta 1e-4, overlap delta 2e-3, identical
+        # element-count distribution vs bf16 — BENCH_NOTES.md)
+        return gen.decode(variables, memory, forced, sampling, key,
+                          kv_quant=True)
 
     fn = jax.jit(sample_fn)
 
@@ -114,7 +118,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"layouts/sec/chip (full RALF sample: encode+KV-cached constrained decode, B={best_B}, bf16, top-p)",
+                "metric": f"layouts/sec/chip (full RALF sample: encode+KV-cached constrained decode, B={best_B}, bf16 compute, int8 shared-memory decode, top-p)",
                 "value": round(best, 2),
                 "unit": "layouts/sec",
                 "vs_baseline": round(best / per_chip_target, 3),

@@ -59,6 +59,9 @@ def main() -> None:
     p.add_argument("--unannotated", action="store_true",
                    help="no-GT split (inference_unanno equivalent)")
     p.add_argument("--out-dir", default=None)
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 shared-memory decode (1.13x; layout metrics "
+                        "at parity with bf16 on trained checkpoints)")
     args = p.parse_args()
 
     import jax
@@ -142,9 +145,12 @@ def main() -> None:
             if is_token_model:
                 cond, _ = gen.build_condition(batch, rng, task=args.cond) \
                     if hasattr(gen, "build_condition") else (None, None)
+                # kv_quant only exists on the AR decode path; other token
+                # models (maskgit/diffusion) fail loudly if requested
+                extra = {"kv_quant": True} if args.kv_quant else {}
                 out = gen.sample(variables, cond, sampling,
                                  jax.random.fold_in(key, len(results)),
-                                 return_tokens=True)
+                                 return_tokens=True, **extra)
                 layout, seq = out if isinstance(out, tuple) else (out, None)
                 jax.block_until_ready(layout.label)
                 if seq is not None and cond is not None:

@@ -310,7 +310,8 @@ class AutoregGenerator:
 
     def sample(self, variables, cond: Condition, sampling: SamplingConfig,
                key: jax.Array, return_tokens: bool = False,
-               use_backtrack: bool = True, max_retries: int = 4):
+               use_backtrack: bool = True, max_retries: int = 4,
+               kv_quant: bool = False):
         memory = self.encode_memory(variables, cond)
         forced = build_forced_tokens(cond, self.tokenizer)
         if normalize_task(cond.task) == "relation" and use_backtrack:
@@ -329,6 +330,7 @@ class AutoregGenerator:
                 max_retries=max_retries,
             )
         else:
-            seq = self.decode(variables, memory, forced, sampling, key)
+            seq = self.decode(variables, memory, forced, sampling, key,
+                              kv_quant=kv_quant)
         layout = self.tokenizer.decode(seq)
         return (layout, seq) if return_tokens else layout

@@ -125,6 +125,22 @@ def _batch_block(B: int, H: int, S: int, E: int, itemsize: int,
     return bb
 
 
+def _reference_attention(q, k, v, nhead, key_bias):
+    """XLA einsum formulation — the kernel's autodiff oracle."""
+    B, S, E = q.shape
+    Dh = E // nhead
+    qh = q.reshape(B, S, nhead, Dh)
+    kh = k.reshape(B, S, nhead, Dh)
+    vh = v.reshape(B, S, nhead, Dh)
+    logits = jnp.einsum(
+        "bshd,bmhd->bhsm", qh, kh, preferred_element_type=jnp.float32
+    )
+    if key_bias is not None:
+        logits = logits + key_bias[:, None, None, :].astype(logits.dtype)
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhsm,bmhd->bshd", p, vh).reshape(B, S, E)
+
+
 @functools.partial(
     jax.jit, static_argnames=("nhead", "interpret", "block_b", "q_chunk")
 )
@@ -138,7 +154,45 @@ def fused_encoder_attention(
     block_b: int | None = None,  # override rows/grid-step (must divide B)
     q_chunk: int | None = None,  # override query-dim tile inside the kernel
 ) -> jax.Array:
-    """Multi-head softmax(q k^T + key_bias) v fused in VMEM -> [B, S, E]."""
+    """Multi-head softmax(q k^T + key_bias) v fused in VMEM -> [B, S, E].
+
+    Differentiable: the Pallas call has no VJP of its own, so a custom_vjp
+    routes the backward through the XLA einsum formulation (recompute-style
+    remat).  This matters for frozen towers (e.g. the RALF FIDNet layout
+    encoder) that run deterministic=True INSIDE a training loss — autodiff
+    linearizes through them even when their params receive no update.
+    """
+
+    @jax.custom_vjp
+    def _attn(q, k, v, key_bias):
+        return _fused_forward(q, k, v, nhead, key_bias, interpret, block_b, q_chunk)
+
+    def _fwd(q, k, v, key_bias):
+        return _attn(q, k, v, key_bias), (q, k, v, key_bias)
+
+    def _bwd(res, g):
+        q, k, v, key_bias = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _reference_attention(q_, k_, v_, nhead, key_bias),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+
+    _attn.defvjp(_fwd, _bwd)
+    return _attn(q, k, v, key_bias)
+
+
+def _fused_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    nhead: int,
+    key_bias: jax.Array | None,
+    interpret: bool,
+    block_b: int | None,
+    q_chunk: int | None,
+) -> jax.Array:
     B, S, E = q.shape
     qc = _q_chunk(S) if q_chunk is None else q_chunk
     bb = block_b or _batch_block(B, nhead, S, E, q.dtype.itemsize, qc)

@@ -138,3 +138,33 @@ def test_fused_encoder_attention_q_chunk_interpret():
     chunked = fused_encoder_attention(q, k, v, H, None, interpret=True, q_chunk=8)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_encoder_attention_grad_interpret():
+    # the kernel must be differentiable (frozen towers run it inside a
+    # training loss); backward routes through the XLA reference via
+    # custom_vjp — compare grads against pure-XLA autodiff
+    from ralf_tpu.ops.pallas.encoder_attention import (
+        _reference_attention,
+        fused_encoder_attention,
+    )
+
+    B, S, H, Dh = 2, 12, 4, 8
+    E = H * Dh
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (B, S, E), jnp.float32)
+    k = jax.random.normal(kk, (B, S, E), jnp.float32)
+    v = jax.random.normal(kv, (B, S, E), jnp.float32)
+    keep = jnp.ones((B, S), bool).at[1, 9:].set(False)
+    bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_encoder_attention(q, k, v, H, bias, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, H, bias) ** 2)
+
+    ga = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
