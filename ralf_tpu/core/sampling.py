@@ -26,6 +26,11 @@ class SamplingConfig:
     TPU v5e the exact full-vocab sort path is FASTER inside the decode
     scan than a top-k prefilter (lax.top_k lowers poorly there), so the
     default is 0 = exact.
+
+    top_p: nucleus mass.  The default sort-free bisection filter keeps ALL
+    tokens tied exactly at the threshold probability (the sort oracle keeps
+    one), and p >= 1.0 is a no-op; otherwise verified equivalent to the
+    sort formulation (test_top_p_bisect_matches_sort_oracle).
     """
 
     name: str = "random"  # deterministic | random | top_k | top_p | gumbel
@@ -67,6 +72,11 @@ def top_p_filter_bisect(logits: jax.Array, p: float, iters: int = 26) -> jax.Arr
     Ties at the exact threshold keep ALL tied tokens (the sort keeps one);
     identical on non-degenerate inputs.
     """
+    if p >= 1.0:
+        # no-op, matching the sort path: with the full mass allowed no token
+        # may be filtered; the converged bracket ~maxp*2^-26 would otherwise
+        # still mask tokens whose probability underflows below it.
+        return logits
     probs = jax.nn.softmax(logits, axis=-1)
     maxp = jnp.max(probs, axis=-1, keepdims=True)
     lo = jnp.zeros_like(maxp)  # S(0) = 1 > p (for p < 1)

@@ -327,7 +327,7 @@ class AutoregGenerator:
             seq = relation_aware_decode(
                 self.decoder_module, dec_vars, memory, self.tokenizer,
                 jnp.asarray(forced), tensors, sampling, key,
-                max_retries=max_retries,
+                max_retries=max_retries, kv_quant=kv_quant,
             )
         else:
             seq = self.decode(variables, memory, forced, sampling, key,

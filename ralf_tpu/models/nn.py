@@ -222,7 +222,8 @@ class MultiHeadAttention(nn.Module):
     def attend_t_any(self, q_in: jax.Array, cross,
                      bias: Optional[jax.Array] = None) -> jax.Array:
         """attend_t over a shared-memory array (weight-folded path), an
-        int8 shared pair (mem_i8 [B,M,E], scale [B]), a plain (k, v) pair,
+        int8 shared pair (mem_i8 [B,M,E], per-token scale [B,M]), a plain
+        (k, v) pair,
         or an int8-quantized (k, v, k_scale, v_scale) cache (bias only
         supported on the shared / unquantized paths)."""
         if isinstance(cross, jax.Array):
@@ -601,7 +602,7 @@ class TransformerDecoder(nn.Module):
         shared = isinstance(cross_kvs, jax.Array) or (
             isinstance(cross_kvs, tuple)
             and len(cross_kvs) == 2
-            and cross_kvs[0].ndim == 3  # (mem_i8 [B,M,E], scale [B])
+            and cross_kvs[0].ndim == 3  # (mem_i8 [B,M,E], scale [B,M])
         )
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):

@@ -27,9 +27,12 @@ MXU dot output aborts the compiler ("limits <= dim" SIGABRT) at any
 S > ~8, in every formulation tried (pre- or post-copy, slice or
 broadcast) — while MULTIPLYING the same shape after the exp compiles and
 runs.  The kernel therefore receives exp(bias) "keep weights" and
-computes p = exp(scores - m) * w, which is exactly softmax with additive
-masking (m is the global row max, so exp(scores - m) <= 1 and stability
-holds; w in {0, 1} for keep masks).
+computes p = exp(min(scores - m, 0)) * w, which is exactly softmax with
+additive masking.  m is the max over KEPT scores (select-formulated, not
+an add), so kept weights cannot collectively underflow, and fully-masked
+rows fall back to uniform attention — matching the XLA oracle, where the
+fp32 add of the finite NEG_INF bias rounds every logit to exactly -1e9 —
+instead of 0/0 NaN.
 """
 
 from __future__ import annotations
@@ -63,11 +66,40 @@ def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0):
                 q[:, qc, sl], kh, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores - m)
             if keep_w is not None:
-                p = p * keep_w
-            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+                # Masked softmax without NaN poisoning (ADVICE r1, medium):
+                #  * m must be the max over KEPT scores — a masked score far
+                #    above every kept one would otherwise underflow all kept
+                #    weights to 0 and give 0/0.
+                #  * a fully-masked row (zero-element layout through the
+                #    FIDNet dec_transformer) must match the XLA oracle:
+                #    fp32 `scores + (-1e9)` rounds every logit to exactly
+                #    -1e9 (eps at 1e9 is 64), so the oracle is UNIFORM
+                #    attention — not NaN.
+                # Only select/min/mul forms are used below; the [bb,1,S]
+                # vector ADD that Mosaic rejects (module docstring) never
+                # appears.
+                kept_any = jnp.max(keep_w, axis=-1, keepdims=True) > 0.0
+                s_eff = jnp.where(kept_any, scores, 0.0)
+                m_kept = jnp.max(
+                    jnp.where(keep_w > 0.0, s_eff, -jnp.inf),
+                    axis=-1, keepdims=True,
+                )
+                m = jnp.where(kept_any, m_kept, 0.0)
+                # kept entries have scores <= m; the clamp only neuters
+                # masked entries (their weight is zeroed by w anyway).
+                # Dead rows: s_eff == m == 0 -> p uniform.
+                p = jnp.exp(jnp.minimum(s_eff - m, 0.0))
+                w = jnp.where(kept_any, keep_w, 1.0)
+                p = p * w
+                p = p / jnp.maximum(
+                    jnp.sum(p, axis=-1, keepdims=True), 1e-30
+                )
+            else:
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = p.astype(v.dtype)
             o_ref[:, qc, sl] = jax.lax.dot_general(  # [Bb, cn, Dh]
                 p, vh, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,

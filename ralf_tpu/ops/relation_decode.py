@@ -162,6 +162,7 @@ def relation_aware_decode(
     key: jax.Array,
     max_retries: int = 4,
     retry_temperature: float = 1.5,  # `autoreg.py:351`
+    kv_quant: bool = False,  # int8 shared cross-memory, as in ar_decode
 ) -> jax.Array:
     """Returns token sequences [B, 5S]."""
     B = memory.shape[0]
@@ -179,7 +180,8 @@ def relation_aware_decode(
     var_order = list(tokenizer.var_order)
 
     cache0 = decoder.apply(dec_vars, B, L, method=TokenDecoder.init_cache)
-    cross = decoder.apply(dec_vars, memory, method=TokenDecoder.cross_kv)
+    cross = decoder.apply(dec_vars, memory, kv_quant,
+                          method=TokenDecoder.cross_kv)
     positions = jnp.arange(L)
     vocab_iota = jnp.arange(V)
 

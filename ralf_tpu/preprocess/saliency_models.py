@@ -6,10 +6,12 @@ ResNet34-style encoder + dilated bridge + decoder + residual refinement,
 run at 256^2).  The dataset builder combines the two maps by pixel-max
 (`hfds_builder/dump_dataset.py:150-153`).
 
-Flax/NHWC re-implementations with the same stage/channel plans.  The
-released .pth weights are download-only (zero-egress environments can't
-fetch them); `load_torch_weights` hooks exist for when the files are on
-disk, and the synthetic data path does not need them.
+Flax/NHWC re-implementations with the same stage/channel plans, run
+deterministically for inference (no BN state updates).  The released .pth
+weights are download-only (zero-egress environments can't fetch them) and
+no converter is wired yet — BASNet in particular is a simplified twin
+(no per-stage side outputs), so loading real weights needs a dedicated
+port pass, not a file-copy.  The synthetic data path does not need them.
 """
 
 from __future__ import annotations

@@ -124,6 +124,35 @@ def test_fused_encoder_attention_parity_interpret():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_fused_encoder_attention_masked_rows_interpret():
+    # Degenerate keep masks (ADVICE r1, medium): a fully-masked key row
+    # must match the XLA oracle (uniform attention — the fp32 add of the
+    # finite -1e9 bias rounds every logit to exactly -1e9), never NaN; and
+    # a masked score far above all kept ones must not underflow the kept
+    # weights to 0/0.
+    from ralf_tpu.ops.pallas.encoder_attention import (
+        _reference_attention,
+        fused_encoder_attention,
+    )
+
+    B, S, H, Dh = 4, 12, 4, 8
+    E = H * Dh
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (B, S, E), jnp.float32)
+    k = jax.random.normal(kk, (B, S, E), jnp.float32)
+    v = jax.random.normal(kv, (B, S, E), jnp.float32)
+    # row 1: fully masked; row 2: only key 0 kept, and key 1 (masked) is
+    # given a huge score by scaling its key vector
+    keep = jnp.ones((B, S), bool).at[1, :].set(False).at[2, 1:].set(False)
+    k = k.at[2, 1].set(k[2, 1] * 400.0)
+    bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+    out = fused_encoder_attention(q, k, v, H, bias, interpret=True)
+    ref = _reference_attention(q, k, v, H, bias)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fused_encoder_attention_q_chunk_interpret():
     # query-dim tiled variant (experimental on TPU) matches the reference
     from ralf_tpu.ops.pallas.encoder_attention import fused_encoder_attention

@@ -50,11 +50,9 @@ def test_box_union_mask():
 
 
 def test_build_caches_cli(tmp_path):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = (
-        "/root/.axon_site:" + os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    from conftest import cli_subprocess_env
+
+    env = cli_subprocess_env()
     for what in ("clusters", "relationships"):
         r = subprocess.run(
             [sys.executable, "-m", "ralf_tpu.cli.build_caches", "--what", what,
