@@ -1,0 +1,83 @@
+"""End-to-end CLI pipeline smoke test: train -> inference -> evaluate.
+
+This is the integration path the reference never tests (SURVEY §4: its
+de-facto integration test is the DEBUG=True flag threaded through entry
+points, never run in CI).  Here the full `scripts/run_config*.sh`
+semantics — `cli.train` writes a job dir + checkpoint, `cli.inference`
+re-loads the config contract and decodes to pickles + violation csv,
+`cli.evaluate` consumes the pickles into scores_all.json — run hermetically
+on the synthetic dataset with debug sizes, forced-CPU subprocesses.
+"""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import pytest
+
+from conftest import cli_subprocess_env
+
+TINY_MODEL = [
+    "model.d_model=32",
+    "model.nhead=2",
+    "model.num_encoder_layers=1",
+    "model.num_decoder_layers=1",
+    "model.dim_feedforward=64",
+    "model.backbone=resnet18",
+]
+
+
+def _run(cmd, env, timeout=600):
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=timeout)
+    assert r.returncode == 0, f"{' '.join(cmd)}\n--- stderr ---\n{r.stderr[-3000:]}"
+    return r
+
+
+@pytest.mark.parametrize("experiment", ["autoreg", "ralf"])
+def test_train_inference_evaluate_pipeline(tmp_path, experiment):
+    env = cli_subprocess_env()
+    job_dir = str(tmp_path / f"job_{experiment}")
+
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.train",
+         "--experiment", experiment, "--job-dir", job_dir,
+         "--debug", "--synthetic", "--batch-size", "8",
+         *TINY_MODEL,
+         "generator_kwargs.top_k=4" if experiment == "ralf" else "train.seed=0"],
+        env,
+    )
+    assert os.path.exists(os.path.join(job_dir, "config.json"))
+    assert os.path.isdir(os.path.join(job_dir, "ckpt_final"))
+    metrics = [json.loads(l) for l in open(os.path.join(job_dir, "metrics.jsonl"))]
+    assert metrics and "train_loss" in metrics[0]
+
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.inference",
+         "--job-dir", job_dir, "--cond", "c", "--split", "test",
+         "--num-seeds", "1", "--batch-size", "16"],
+        env,
+    )
+    out_dir = os.path.join(job_dir, "generated_samples_c")
+    with open(os.path.join(out_dir, "test_0.pkl"), "rb") as f:
+        data = pickle.load(f)
+    assert data["results"], "inference produced no layouts"
+    rec = data["results"][0]
+    assert set(rec) >= {"id", "label", "center_x", "center_y", "width", "height"}
+    # the c task conditions on GT labels: zero-violation contract
+    viol = open(os.path.join(out_dir, "test_0_violation.csv")).read().splitlines()
+    assert viol[1].split(",")[2] == "0.0", f"c-task violations: {viol}"
+
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.evaluate",
+         "--input-dir", out_dir, "--job-dir", job_dir, "--split", "test"],
+        env,
+    )
+    with open(os.path.join(out_dir, "scores_all.json")) as f:
+        scores = json.load(f)
+    for metric in ("validity", "alignment-LayoutGAN++", "overlap-LayoutGAN++",
+                   "overlay", "underlay_effectiveness_loose", "fid"):
+        assert metric in scores, f"missing metric {metric}: {sorted(scores)}"
+        assert scores[metric]["mean"] == scores[metric]["mean"], f"{metric} is NaN"
