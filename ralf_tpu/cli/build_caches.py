@@ -53,9 +53,12 @@ def main() -> None:
     os.makedirs(args.cache_dir, exist_ok=True)
 
     if args.what == "retrieval":
+        from ralf_tpu import cache as cache_mod
         from ralf_tpu.retrieval.retriever import Retriever, mmr_rerank
 
         gallery_ds = train_ds
+        gallery_name = args.dataset
+        table_key = args.dataset  # cache key for the query-side tables
         if args.cross_dataset_dir:
             other = FrameworkConfig(
                 dataset=DatasetConfig(
@@ -64,7 +67,16 @@ def main() -> None:
                 )
             )
             gallery_ds, _, _ = build_datasets(other)
-        retriever = Retriever.build(gallery_ds, args.backbone)
+            gallery_name = other.dataset.name
+            # cross-dataset tables must not collide with same-dataset ones:
+            # a normal run would silently load foreign-gallery neighbors
+            table_key = f"{args.dataset}_gallery_{gallery_name}"
+        # gallery features persist alongside the tables so train/inference
+        # runs do zero re-embedding (consumed by Retriever.build)
+        retriever = Retriever.build(
+            gallery_ds, args.backbone,
+            cache_dir=args.cache_dir, dataset_name=gallery_name,
+        )
         for split, ds in (("train", train_ds), ("val", val_ds), ("test", test_ds)):
             table = retriever.precompute_table(
                 ds, args.top_k,
@@ -79,10 +91,10 @@ def main() -> None:
                     qf = np.asarray(retriever.embed(ds.get_images(idx)))
                     out[idx] = mmr_rerank(feats, table[idx], qf, args.top_k // 2)
                 table = out
-            name = (f"{args.dataset}_{split}_{args.backbone}_wo_head_table_"
-                    f"between_dataset_indexes_top_k{args.top_k}.npz")
-            np.savez(os.path.join(args.cache_dir, name), table=table)
-            logging.info("%s: table %s", split, table.shape)
+            path = cache_mod.save_retrieval_table(
+                args.cache_dir, table_key, split, args.backbone, table
+            )
+            logging.info("%s: table %s -> %s", split, table.shape, path)
 
     elif args.what == "clusters":
         from ralf_tpu.core.bucketizer import fit_kmeans_1d
@@ -95,10 +107,12 @@ def main() -> None:
             vals = lay[key][mask]
             for n in [2**i for i in range(1, 9)]:
                 weights[f"{key}-{n}"] = fit_kmeans_1d(vals, n)
-        name = f"{args.dataset}_kmeans_train_clusters.pkl"
-        with open(os.path.join(args.cache_dir, name), "wb") as f:
+        from ralf_tpu import cache as cache_mod
+
+        path = cache_mod.kmeans_clusters_path(args.cache_dir, args.dataset)
+        with open(path, "wb") as f:
             pickle.dump(weights, f)
-        logging.info("wrote %s (%d entries)", name, len(weights))
+        logging.info("wrote %s (%d entries)", path, len(weights))
 
     else:  # relationships
         from ralf_tpu.core.layout import Layout
@@ -112,10 +126,12 @@ def main() -> None:
             ids = ds.get_ids(idx)
             for i, r in zip(ids, rels):
                 table[str(i)] = r
-        name = f"{args.dataset}_relationships_dic.pkl"
-        with open(os.path.join(args.cache_dir, name), "wb") as f:
+        from ralf_tpu import cache as cache_mod
+
+        path = cache_mod.relationships_path(args.cache_dir, args.dataset)
+        with open(path, "wb") as f:
             pickle.dump(table, f)
-        logging.info("wrote %s (%d samples)", name, len(table))
+        logging.info("wrote %s (%d samples)", path, len(table))
 
 
 if __name__ == "__main__":

@@ -113,18 +113,48 @@ def main() -> None:
         "with_retrieval"
     )
     if needs_retrieval:
+        from ralf_tpu import cache as cache_mod
         from ralf_tpu.retrieval.retriever import Retriever
         from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
 
-        retriever = Retriever.build(train_ds)
-        loader = RetrievalAugmentedLoader(
-            loader, retriever, cfg.generator_kwargs.get("top_k", 16)
+        retriever = Retriever.build(
+            train_ds, cache_dir=cfg.cache_dir, dataset_name=cfg.dataset.name
         )
+        top_k = cfg.generator_kwargs.get("top_k", 16)
+        table = None
+        if not args.unannotated:  # cached tables are keyed by the GT split
+            table = cache_mod.load_retrieval_table(
+                cfg.cache_dir, cfg.dataset.name, args.split,
+                retriever.backbone_name, top_k, expect_rows=len(ds),
+            )
+        loader = RetrievalAugmentedLoader(loader, retriever, top_k, table=table)
 
     if args.single_image:
+        # single-canvas demo (`inference_single_data.py:39-43`): a B=1
+        # batch with a placeholder layout (a bare canvas has no GT, so
+        # conditional tasks see zero constrained elements) and, for
+        # retrieval models, neighbors fetched for THIS query image
+        from ralf_tpu.core.layout import Layout
+
         img = _load_single_image(args.single_image, cfg)
-        batches = [{"layout": next(iter(loader))["layout"], "image": img,
-                    "id": np.asarray([0])}]
+        S = cfg.dataset.max_seq_length
+        zeros = np.zeros((1, S), np.float32)
+        batch = {
+            "layout": Layout(
+                label=np.zeros((1, S), np.int32),
+                center_x=zeros, center_y=zeros.copy(),
+                width=zeros.copy(), height=zeros.copy(),
+                mask=np.zeros((1, S), bool),
+            ),
+            "image": img,
+            "id": np.asarray([0]),
+            "indices": np.asarray([0]),
+        }
+        if needs_retrieval:
+            nbrs = np.asarray(retriever.topk(retriever.embed(img), top_k))
+            batch["retrieved"] = retriever.gather_neighbors(nbrs)
+            batch["retrieved_indices"] = nbrs
+        batches = [batch]
     else:
         batches = list(loader)
 

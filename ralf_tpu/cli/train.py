@@ -33,6 +33,12 @@ def main() -> None:
     p.add_argument("--debug", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="hermetic synthetic dataset (no parquet dumps needed)")
+    p.add_argument("--cache-dir", default="cache",
+                   help="offline-artifact dir (retrieval tables, gallery "
+                        "features, kmeans vocabularies — cli.build_caches)")
+    p.add_argument("--allow-linear-fallback", action="store_true",
+                   help="permit kmeans-preset tokenizers to downgrade to the "
+                        "linear vocabulary when centers are missing")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args()
 
@@ -50,6 +56,8 @@ def main() -> None:
     cfg.auxiliary_task = args.task
     cfg.debug = args.debug
     cfg.synthetic_data = args.synthetic
+    cfg.cache_dir = args.cache_dir
+    cfg.allow_linear_fallback = args.allow_linear_fallback
     if args.epochs:
         cfg.train.epochs = args.epochs
     if args.batch_size:
@@ -73,10 +81,13 @@ def main() -> None:
     )
     mesh = None
     if needs_retrieval:
+        from ralf_tpu import cache as cache_mod
         from ralf_tpu.retrieval.retriever import Retriever
         from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
 
-        retriever = Retriever.build(train_ds)
+        retriever = Retriever.build(
+            train_ds, cache_dir=cfg.cache_dir, dataset_name=cfg.dataset.name
+        )
         gs = cfg.train.gallery_shards
         if gs > 1:  # row-shard the gallery; remaining devices = data axis
             from ralf_tpu.parallel.mesh import GALLERY_AXIS, make_mesh
@@ -89,10 +100,22 @@ def main() -> None:
             mesh = make_mesh((n // gs, gs))
             retriever.shard_gallery(mesh, GALLERY_AXIS)
         top_k = cfg.generator_kwargs.get("top_k", 16)
+        # precomputed top-k tables (cli.build_caches --what retrieval); a
+        # cache hit skips the per-run gallery scoring pass entirely
+        tables = {
+            split: cache_mod.load_retrieval_table(
+                cfg.cache_dir, cfg.dataset.name, split,
+                retriever.backbone_name, top_k, expect_rows=len(ds),
+            )
+            for split, ds in (("train", train_ds), ("val", val_ds))
+        }
         train_loader = RetrievalAugmentedLoader(
-            train_loader, retriever, top_k, is_train_split=True
+            train_loader, retriever, top_k, is_train_split=True,
+            table=tables["train"],
         )
-        val_loader = RetrievalAugmentedLoader(val_loader, retriever, top_k)
+        val_loader = RetrievalAugmentedLoader(
+            val_loader, retriever, top_k, table=tables["val"]
+        )
 
     cap = 2 if cfg.debug else None
     if cfg.experiment in ("cglgan", "cglgan_ra", "dsgan", "dsgan_ra", "icvt"):

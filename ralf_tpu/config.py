@@ -80,6 +80,13 @@ class FrameworkConfig:
     debug: bool = False
     synthetic_data: bool = False  # hermetic runs when parquet dumps absent
     num_seeds: int = 3  # eval protocol (`config/__init__.py:62`)
+    # offline-artifact directory (retrieval tables, gallery features,
+    # kmeans vocabularies — the reference's `cache/` conventions)
+    cache_dir: str = "cache"
+    # kmeans tokenizer presets (layoutdm) REQUIRE fitted centers in the
+    # cache; set True to permit the linear-vocabulary downgrade instead of
+    # erroring (the config would otherwise lie about what it ran)
+    allow_linear_fallback: bool = False
 
     # ---- serialization contract ------------------------------------------
 
@@ -109,6 +116,8 @@ def from_dict(raw: dict) -> FrameworkConfig:
         debug=raw.get("debug", False),
         synthetic_data=raw.get("synthetic_data", False),
         num_seeds=raw.get("num_seeds", 3),
+        cache_dir=raw.get("cache_dir", "cache"),
+        allow_linear_fallback=raw.get("allow_linear_fallback", False),
     )
     return cfg
 
@@ -173,9 +182,34 @@ def build_tokenizer(cfg: FrameworkConfig) -> Optional[LayoutSequenceTokenizer]:
     tk.setdefault("max_seq_length", cfg.dataset.max_seq_length)
     tk.setdefault("num_bin", 128)
     if tk.get("geo_quantization") == "kmeans" and "kmeans_centers" not in tk:
-        # adaptive vocabulary fitted on the train split is built by the
-        # kmeans preprocessing tool; fall back to linear when absent
-        tk["geo_quantization"] = "linear"
+        # adaptive vocabulary fitted on the train split by
+        # `cli.build_caches --what clusters` (the reference's
+        # `save_clustering_coordinates.py` + `bucketizer.py:84-101` cache)
+        from ralf_tpu import cache as cache_mod
+
+        centers = cache_mod.load_kmeans_centers(
+            cfg.cache_dir, cfg.dataset.name, tk["num_bin"]
+        )
+        if centers is not None:
+            tk["kmeans_centers"] = centers
+        elif cfg.allow_linear_fallback:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kmeans centers missing from %s for %s — DOWNGRADING the "
+                "tokenizer to the linear vocabulary (allow_linear_fallback)",
+                cfg.cache_dir, cfg.dataset.name,
+            )
+            tk["geo_quantization"] = "linear"
+        else:
+            raise FileNotFoundError(
+                f"tokenizer preset requires kmeans centers but "
+                f"{cache_mod.kmeans_clusters_path(cfg.cache_dir, cfg.dataset.name)} "
+                f"is missing. Run `python -m ralf_tpu.cli.build_caches --what "
+                f"clusters --dataset {cfg.dataset.name} --cache-dir "
+                f"{cfg.cache_dir}` first, or pass allow_linear_fallback=true "
+                f"to train on the linear vocabulary instead."
+            )
     tk["special_tokens"] = tuple(tk.get("special_tokens", ("pad", "bos", "eos")))
     return LayoutSequenceTokenizer(TokenizerConfig(**tk))
 

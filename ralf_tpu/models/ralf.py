@@ -104,6 +104,16 @@ class RALFCore(nn.Module):
         (`...ConcatRetrievalAugmentedAutoreg:858-903`)
       * 'adapter'          — ref rows appended raw after the adapter
         (`RetrievalAugmentedAutoregAdapter:587-632`)
+      * 'flag_concat_crossattn' — final architecture plus a learned
+        per-modality scalar added to image vs layout rows before the
+        cross-attention (`...FlagConcatCrossAttn...:1039-1137`;
+        the reference's nn.Embedding(2, 1) broadcast)
+      * 'pre_encoder'      — fuse BEFORE the shared transformer: the raw
+        PE'd feature map cross-attends to ref, and the transformer runs
+        over concat[feat, CA, ref] (`...ConcatTransEnc...:1140-1232`)
+      * 'post_encoder'     — encode the image normally, then run a second
+        modality transformer over concat[memory, ref]
+        (`...AfterConcatTransEnc...:1235-1294`)
     """
 
     vocab_size: int
@@ -153,6 +163,19 @@ class RALFCore(nn.Module):
             dtype=dtype,
         )
         self.flag_emb = self.param("flag_emb", nn.initializers.normal(0.02), (2, 1))
+        if self.fusion == "flag_concat_crossattn":
+            # per-modality scalar, broadcast over D — the reference's
+            # img_or_layout_emb = nn.Embedding(2, 1) (`:1058-1063`)
+            self.modality_emb = self.param(
+                "modality_emb", nn.initializers.normal(0.02), (2, 1)
+            )
+        if self.fusion == "post_encoder":
+            from ralf_tpu.models.nn import TransformerEncoder
+
+            self.modality_encoder = TransformerEncoder(
+                c.d_model, c.nhead, c.num_encoder_layers, c.dim_feedforward,
+                0.1, dtype=dtype,
+            )
         self.decoder = TokenDecoder(
             vocab_size=self.vocab_size,
             d_model=c.d_model,
@@ -192,25 +215,53 @@ class RALFCore(nn.Module):
         const_keep: jax.Array,
         train: bool = False,
     ) -> jax.Array:
-        memory = self.encoder(image, train=train)  # [B, M, D]
         ref = self.encode_retrieved(retrieved, train)  # [B, K, D]
         det = not train
-        if self.fusion == "concat_crossattn":  # final architecture
+        if self.fusion == "pre_encoder":
+            # fuse before the shared transformer (`:1167-1196`): the raw
+            # PE'd feature map cross-attends to ref, and the transformer
+            # encodes the concatenated [feat, CA, ref] sequence
+            feat = self.encoder.features(image, train=train)
+            memory_ca = self.attn(feat, ref, deterministic=det)
+            fused = self.encoder.encode_seq(
+                jnp.concatenate([feat, memory_ca, ref], axis=1), train=train
+            )  # [B, 2M+K, D]
+        elif self.fusion == "post_encoder":
+            # second modality transformer after the image encoder (`:1281-1294`)
+            memory = self.encoder(image, train=train)
+            fused = self.modality_encoder(
+                jnp.concatenate([memory, ref], axis=1), deterministic=det
+            )  # [B, M+K, D]
+        elif self.fusion == "flag_concat_crossattn":
+            memory = self.encoder(image, train=train)
+            emb = self.modality_emb.astype(memory.dtype)
+            memory = memory + emb[0]
+            ref = ref + emb[1]
+            memory_ca = self.attn(memory, ref, deterministic=det)
+            fused = self.fusion_head(
+                jnp.concatenate([memory, memory_ca, ref], axis=1),
+                deterministic=det,
+            )  # [B, 2M+K, D]
+        elif self.fusion == "concat_crossattn":  # final architecture
+            memory = self.encoder(image, train=train)
             memory_ca = self.attn(memory, ref, deterministic=det)
             fused = self.fusion_head(
                 jnp.concatenate([memory, memory_ca, ref], axis=1),
                 deterministic=det,
             )  # [B, 2M+K, D]
         elif self.fusion == "crossattn":
+            memory = self.encoder(image, train=train)
             memory_ca = self.attn(memory, ref, deterministic=det)
             fused = self.fusion_head(
                 jnp.concatenate([memory, memory_ca], axis=1), deterministic=det
             )
         elif self.fusion == "concat":
+            memory = self.encoder(image, train=train)
             fused = self.fusion_head(
                 jnp.concatenate([memory, ref], axis=1), deterministic=det
             )
         elif self.fusion == "adapter":
+            memory = self.encoder(image, train=train)
             fused = jnp.concatenate([memory, ref], axis=1)
         else:
             raise ValueError(self.fusion)

@@ -209,23 +209,36 @@ class ImageEncoder(nn.Module):
     fpn_style: str = "ralf"
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+    def setup(self) -> None:
+        # setup-style (not @nn.compact) so the pre-encoder RALF fusion
+        # ablation can split the pipeline: fuse retrieved tokens into the
+        # sequence BEFORE the shared transformer
+        # (`retrieval_augmented_autoreg.py:1140-1196`).  Attribute names
+        # keep the historical param paths (extractor / pos_2d / transformer).
         from ralf_tpu.models.nn import TransformerEncoder
         from ralf_tpu.models.positional import PositionEmbeddingSine2D
 
-        fmap = ResNetFPNEncoder(
+        self.extractor = ResNetFPNEncoder(
             self.backbone, self.d_model, self.normalize_rgb, self.fpn_style,
-            self.dtype, name="extractor"
-        )(img, train)
-        h = PositionEmbeddingSine2D(self.d_model, name="pos_2d")(fmap)
-        h = TransformerEncoder(
+            self.dtype,
+        )
+        self.pos_2d = PositionEmbeddingSine2D(self.d_model)
+        self.transformer = TransformerEncoder(
             self.d_model,
             self.nhead,
             self.num_layers,
             self.dim_feedforward,
             self.dropout,
             dtype=self.dtype,
-            name="transformer",
-        )(h, deterministic=not train)
-        return h
+        )
+
+    def features(self, img: jax.Array, train: bool = False) -> jax.Array:
+        """Backbone + 2-d sine PE, BEFORE the transformer.  [B, H'W', D]."""
+        return self.pos_2d(self.extractor(img, train))
+
+    def encode_seq(self, h: jax.Array, train: bool = False) -> jax.Array:
+        """The shared transformer over an arbitrary token sequence."""
+        return self.transformer(h, deterministic=not train)
+
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
+        return self.encode_seq(self.features(img, train), train)

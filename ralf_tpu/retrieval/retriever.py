@@ -234,17 +234,38 @@ class Retriever:
         dataset,
         backbone: str = "saliency",
         batch_size: int = 256,
+        cache_dir: Optional[str] = None,
+        dataset_name: Optional[str] = None,
     ) -> "Retriever":
-        """Extract gallery features for a LayoutDatasetBase."""
+        """Extract gallery features for a LayoutDatasetBase.
+
+        With `cache_dir`, features load from / persist to the
+        `{ds}_{backbone}_gallery_features.npz` cache (ralf_tpu.cache), so
+        repeated train/inference runs do zero embedding work — the
+        reference's cache/ convention (`retriever.py:134-229`)."""
+        n = len(dataset)
+        name = dataset_name or getattr(getattr(dataset, "cfg", None), "name", None)
+        if cache_dir and name:
+            from ralf_tpu import cache as cache_mod
+
+            cached = cache_mod.load_gallery_features(
+                cache_dir, name, backbone, expect_rows=n
+            )
+            if cached is not None:
+                return cls(cached, dataset.get_layouts(np.arange(n)), backbone)
         fn = BACKBONES[backbone]
         if backbone == "saliency":  # torch-hook backbones can't be jitted
             fn = jax.jit(fn)
         feats = []
-        n = len(dataset)
         for s in range(0, n, batch_size):
             idx = np.arange(s, min(s + batch_size, n))
             feats.append(np.asarray(fn(jnp.asarray(dataset.get_images(idx)))))
-        return cls(np.concatenate(feats, 0), dataset.get_layouts(np.arange(n)), backbone)
+        features = np.concatenate(feats, 0)
+        if cache_dir and name:
+            from ralf_tpu import cache as cache_mod
+
+            cache_mod.save_gallery_features(cache_dir, name, backbone, features)
+        return cls(features, dataset.get_layouts(np.arange(n)), backbone)
 
     def embed(self, images: np.ndarray) -> jax.Array:
         return self.backbone(jnp.asarray(images))

@@ -176,6 +176,133 @@ def port_resnet_trunk(sd: dict, backbone: str = "resnet50",
     return params, stats
 
 
+# --------------------------------------------------------------------------
+# Full RALF assembly (the flagship quality-parity path)
+# --------------------------------------------------------------------------
+
+
+def _conv_bias(sd: dict, name: str) -> dict:
+    return {
+        "kernel": sd[f"{name}.weight"].transpose(2, 3, 1, 0),
+        "bias": sd[f"{name}.bias"],
+    }
+
+
+def _sub(sd: dict, prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def port_vit_ffn(sd: dict, prefix: str) -> dict:
+    """Reference ViT FeedForward (`common/attention.py:15-30`:
+    LN -> Linear -> GELU -> Linear) -> models.ralf.ViTFeedForward."""
+    return {
+        "LayerNorm_0": _layernorm(sd, f"{prefix}.net.0"),
+        "Dense_0": _dense(sd, f"{prefix}.net.1"),
+        "Dense_1": _dense(sd, f"{prefix}.net.4"),
+    }
+
+
+def port_vit_attention(sd: dict, prefix: str) -> dict:
+    """Reference ViT Attention (`common/attention.py:33-71`) ->
+    models.ralf.ViTCrossAttention (bias-free q/kv, Sequential to_out)."""
+    return {
+        "LayerNorm_0": _layernorm(sd, f"{prefix}.norm"),
+        "to_q": {"kernel": sd[f"{prefix}.to_q.weight"].T},
+        "to_kv": {"kernel": sd[f"{prefix}.to_kv.weight"].T},
+        "to_out": {
+            "kernel": sd[f"{prefix}.to_out.0.weight"].T,
+            "bias": sd[f"{prefix}.to_out.0.bias"],
+        },
+    }
+
+
+def port_fidnet_encoder(sd: dict, num_layers: int = 4) -> dict:
+    """The feature-extractor half of FIDNetV3 (`fid/model.py:150-175`
+    load_fidnet_feature_extractor deletes the decoder head) — ports only
+    the keys that survive, for merging over a randomly-initialized tree."""
+    return {
+        "emb_label": {"embedding": sd["emb_label.weight"]},
+        "fc_bbox": _dense(sd, "fc_bbox"),
+        "enc_fc_in": _dense(sd, "enc_fc_in"),
+        "cls_token": sd["enc_transformer.token"].transpose(1, 0, 2),
+        "enc_transformer": port_encoder_stack(sd, "enc_transformer.core", num_layers),
+    }
+
+
+def port_fpn_encoder(sd: dict, prefix: str, backbone: str = "resnet50"):
+    """Reference ResnetBackbone w/ transformer head (`common/image.py:27-120`)
+    -> models.resnet.ResNetFPNEncoder(fpn_style='ralf') params+batch_stats."""
+    trunk_p, trunk_s = port_resnet_trunk(
+        _sub(sd, f"{prefix}.body."), backbone, in_channels=4
+    )
+    params = {
+        "trunk": trunk_p,
+        "fpn_conv11_4": _conv_bias(sd, f"{prefix}.fpn_conv11_4"),
+        "fpn_conv11_5": _conv_bias(sd, f"{prefix}.fpn_conv11_5"),
+        "fpn_conv33": _conv_bias(sd, f"{prefix}.fpn_conv33"),
+        "proj": _conv_bias(sd, f"{prefix}.proj"),
+    }
+    return params, {"trunk": trunk_s}
+
+
+def port_ralf_core(
+    sd: dict,
+    num_encoder_layers: int = 6,
+    num_decoder_layers: int = 6,
+    fid_layers: int = 4,
+    backbone: str = "resnet50",
+) -> tuple[dict, dict]:
+    """Complete reference flagship
+    `ConcateAuxilaryTaskConcateCrossAttnRetrievalAugmentedAutoreg`
+    (`retrieval_augmented_autoreg.py:997-1033`) state_dict ->
+    (params, batch_stats) subtrees for models.ralf.RALFCore.
+
+    The FIDNet subtree is partial (the reference deletes its decoder head);
+    merge the result over a randomly-initialized tree with
+    `merge_params` so the unused leaves keep their shapes.
+    """
+    fpn_p, fpn_s = port_fpn_encoder(sd, "encoder.extractor", backbone)
+    params = {
+        "encoder": {
+            "extractor": fpn_p,
+            "transformer": port_encoder_stack(
+                sd, "transformer_encoder", num_encoder_layers
+            ),
+        },
+        "layout_encoder": port_fidnet_encoder(_sub(sd, "layout_encoer."), fid_layers),
+        "layout_adapter": port_vit_ffn(sd, "layout_adapter"),
+        "attn": port_vit_attention(sd, "attn"),
+        "fusion_head": port_vit_ffn(sd, "head"),
+        "const_encoder": {
+            "Embed_0": {"embedding": sd["user_const_encoder.emb.weight"]},
+            "TransformerEncoder_0": port_encoder_stack(
+                sd, "user_const_encoder.encoder", num_encoder_layers
+            ),
+        },
+        "flag_emb": sd["task_emb.weight"],
+        "decoder": port_token_decoder(_sub(sd, "decoder."), num_decoder_layers),
+    }
+    batch_stats = {"encoder": {"extractor": fpn_s}}
+    return params, batch_stats
+
+
+def merge_params(base: dict, ported: dict, path: str = "") -> dict:
+    """Overlay `ported` onto an initialized tree, asserting every ported
+    leaf exists in `base` with the same shape — a mapping error fails
+    loudly instead of silently keeping random weights."""
+    out = dict(base)
+    for k, v in ported.items():
+        assert k in base, f"ported key {path}/{k} not in initialized tree"
+        if isinstance(v, dict):
+            out[k] = merge_params(base[k], v, f"{path}/{k}")
+        else:
+            assert tuple(base[k].shape) == tuple(np.shape(v)), (
+                f"{path}/{k}: init {base[k].shape} vs ported {np.shape(v)}"
+            )
+            out[k] = np.asarray(v, dtype=base[k].dtype)
+    return out
+
+
 def load_pretrained_trunk_if_available(
     path: str, backbone: str = "resnet50", in_channels: int = 4
 ) -> Optional[tuple[dict, dict]]:

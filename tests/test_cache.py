@@ -1,0 +1,126 @@
+"""Cache-file contract: builders write what consumers load.
+
+VERDICT r1 item 4: the reference's workflow leans on `cache/` conventions
+(`train/models/retrieval/retriever.py:134-229` top-k tables,
+`train/helpers/bucketizer.py:84-101` kmeans vocabularies) — these tests
+pin the rebuild's equivalents end to end: a second run does zero gallery
+embedding work, and kmeans presets actually train on a kmeans vocabulary
+(no silent linear downgrade).
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from ralf_tpu import cache as cache_mod
+from ralf_tpu.config import build_config, build_tokenizer
+from ralf_tpu.core.bucketizer import fit_kmeans_1d
+from ralf_tpu.data.dataset import BatchLoader, DatasetConfig, SyntheticPosterDataset
+from ralf_tpu.retrieval.retriever import Retriever
+from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
+
+
+def test_retrieval_table_roundtrip_and_slicing(tmp_path):
+    table = np.arange(40, dtype=np.int64).reshape(5, 8)
+    path = cache_mod.save_retrieval_table(str(tmp_path), "pku10", "val",
+                                          "saliency", table)
+    assert "top_k8" in path
+    # any cached K' >= requested k qualifies, sliced to k columns
+    got = cache_mod.load_retrieval_table(str(tmp_path), "pku10", "val",
+                                         "saliency", 4, expect_rows=5)
+    np.testing.assert_array_equal(got, table[:, :4])
+    # larger k than cached -> miss
+    assert cache_mod.load_retrieval_table(str(tmp_path), "pku10", "val",
+                                          "saliency", 16) is None
+    # row-count mismatch (stale cache) -> miss, not wrong answers
+    assert cache_mod.load_retrieval_table(str(tmp_path), "pku10", "val",
+                                          "saliency", 4, expect_rows=7) is None
+    # different split/backbone -> miss
+    assert cache_mod.load_retrieval_table(str(tmp_path), "pku10", "test",
+                                          "saliency", 4) is None
+
+
+def test_gallery_feature_cache_skips_embedding(tmp_path):
+    ds = SyntheticPosterDataset(
+        DatasetConfig(name="synthetic"), size=13, seed=0, image_hw=(64, 48)
+    )
+    r1 = Retriever.build(ds, cache_dir=str(tmp_path), dataset_name="synthetic")
+    path = cache_mod.gallery_features_path(str(tmp_path), "synthetic", "saliency")
+    import os
+
+    assert os.path.exists(path)
+
+    # plant sentinel features in the cache: if the second build returns
+    # them, it provably loaded instead of re-embedding
+    sentinel = np.random.default_rng(1).normal(size=(13, r1.features.shape[1]))
+    cache_mod.save_gallery_features(str(tmp_path), "synthetic", "saliency",
+                                    sentinel)
+    r2 = Retriever.build(ds, cache_dir=str(tmp_path), dataset_name="synthetic")
+    norm = sentinel / np.linalg.norm(sentinel, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(r2.features), norm.astype(np.float32),
+                               rtol=1e-5)
+
+    # stale cache (row mismatch) is ignored, falls back to embedding
+    small = SyntheticPosterDataset(
+        DatasetConfig(name="synthetic"), size=7, seed=0, image_hw=(64, 48)
+    )
+    r3 = Retriever.build(small, cache_dir=str(tmp_path),
+                         dataset_name="synthetic")
+    assert r3.features.shape[0] == 7
+
+
+def test_loader_consumes_precomputed_table(tmp_path):
+    ds = SyntheticPosterDataset(
+        DatasetConfig(name="synthetic"), size=11, seed=2, image_hw=(64, 48)
+    )
+    retriever = Retriever.build(ds)
+    fresh = RetrievalAugmentedLoader(
+        BatchLoader(ds, 4, shuffle=False, seed=0), retriever, 3,
+        is_train_split=True,
+    )
+    table = cache_mod.save_retrieval_table(
+        str(tmp_path), "synthetic", "train", "saliency", fresh.table
+    )
+    loaded = cache_mod.load_retrieval_table(
+        str(tmp_path), "synthetic", "train", "saliency", 3, expect_rows=11
+    )
+    cached = RetrievalAugmentedLoader(
+        BatchLoader(ds, 4, shuffle=False, seed=0), retriever, 3,
+        is_train_split=True, table=loaded,
+    )
+    for a, b in zip(fresh, cached):
+        np.testing.assert_array_equal(a["retrieved_indices"],
+                                      b["retrieved_indices"])
+
+
+def test_kmeans_preset_hard_requires_centers(tmp_path):
+    cfg = build_config("layoutdm")
+    cfg.cache_dir = str(tmp_path)
+    # no centers, no fallback -> hard error with the build command in it
+    with pytest.raises(FileNotFoundError, match="build_caches"):
+        build_tokenizer(cfg)
+    # opt-in downgrade works and is honest about quantization
+    cfg.allow_linear_fallback = True
+    tok = build_tokenizer(cfg)
+    assert tok.config.geo_quantization == "linear"
+
+
+def test_kmeans_centers_load_into_tokenizer(tmp_path):
+    rng = np.random.default_rng(3)
+    weights = {}
+    for key in cache_mod.GEO_KEYS:
+        for n in (64, 128):
+            weights[f"{key}-{n}"] = fit_kmeans_1d(rng.uniform(0, 1, 500), n)
+    with open(cache_mod.kmeans_clusters_path(str(tmp_path), "pku10"), "wb") as f:
+        pickle.dump(weights, f)
+
+    cfg = build_config("layoutdm")
+    cfg.cache_dir = str(tmp_path)
+    assert cfg.dataset.name == "pku10"
+    tok = build_tokenizer(cfg)
+    assert tok.config.geo_quantization == "kmeans"
+    np.testing.assert_allclose(
+        np.sort(np.asarray(tok.config.kmeans_centers["width"])),
+        np.sort(weights["width-128"]), rtol=1e-6,
+    )

@@ -18,6 +18,9 @@ def test_all_presets_build_tokenizers():
         if exp == "retriever":
             continue
         cfg = build_config(exp)
+        # kmeans presets (layoutdm/vqdiffusion) hard-require fitted centers
+        # from the cache; tests run without one, so opt into the downgrade
+        cfg.allow_linear_fallback = True
         tok = build_tokenizer(cfg)
         if EXPERIMENTS[exp]["tokenizer"] is None:
             assert tok is None
@@ -53,6 +56,7 @@ def test_generator_factory(exp):
                              "model.backbone=\"resnet18\""])
     if exp == "icvt":
         cfg.model["d_model"] = 40
+    cfg.allow_linear_fallback = True
     tok = build_tokenizer(cfg)
     gen = build_generator(cfg, tok)
     assert gen is not None

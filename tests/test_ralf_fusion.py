@@ -26,6 +26,11 @@ M = 12  # 4x3 feature map at 64x48
     ("crossattn", 2 * M),
     ("concat", M + K),
     ("adapter", M + K),
+    # completes the reference's 9-class ablation matrix
+    # (`retrieval_augmented_autoreg.py:1039-1294`)
+    ("flag_concat_crossattn", 2 * M + K),
+    ("pre_encoder", 2 * M + K),
+    ("post_encoder", M + K),
 ])
 def test_fusion_modes(fusion, extra):
     tok = LayoutSequenceTokenizer(
