@@ -184,3 +184,41 @@ def load_relationships(cache_dir: str, dataset: str) -> Optional[dict]:
         return None
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# -------------------------------------------------------------------------
+# eval GT features (`eval.py:335-350` caches FIDNet features per split)
+# -------------------------------------------------------------------------
+
+
+def gt_features_path(cache_dir: str, dataset: str, split: str, tag: str) -> str:
+    """`tag` distinguishes the feature extractor (e.g. 'trained'/'untrained'
+    FIDNet) so a later trained run never reads stale untrained features."""
+    return os.path.join(
+        cache_dir, f"eval_gt_features_{dataset}_{split}_{tag}.npz"
+    )
+
+
+def load_gt_features(
+    cache_dir: str, dataset: str, split: str, tag: str,
+    expect_rows: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    path = gt_features_path(cache_dir, dataset, split, tag)
+    if not os.path.exists(path):
+        return None
+    feats = np.load(path)["features"]
+    if expect_rows is not None and feats.shape[0] != expect_rows:
+        logger.warning("GT feature cache %s has %d rows, split has %d — "
+                       "ignoring", path, feats.shape[0], expect_rows)
+        return None
+    logger.info("GT feature cache hit: %s %s", path, feats.shape)
+    return feats
+
+
+def save_gt_features(
+    cache_dir: str, dataset: str, split: str, tag: str, features: np.ndarray
+) -> str:
+    os.makedirs(cache_dir, exist_ok=True)
+    path = gt_features_path(cache_dir, dataset, split, tag)
+    np.savez(path, features=np.asarray(features, np.float32))
+    return path

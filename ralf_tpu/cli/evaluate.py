@@ -6,8 +6,21 @@ validity filter, the six heuristic metric families, layout-FID + prdc
 against the GT split features, averages over seeds, and writes
 `scores_all.json` + a paste-friendly `scores_all.txt`.
 
+Protocol parity beyond the metric math:
+  * GT FIDNet features are cached per (dataset, split, extractor) in the
+    cache dir (`eval.py:335-350`) — repeated evaluations skip the GT pass.
+  * `--split both` evaluates the val AND test pickles in one run, like
+    the reference's dual-split loop (`eval.py:282-308`).
+  * `--image-metrics` adds the image-side columns: image-FID on
+    InceptionV3 features of layout-masked canvases (`eval.py:126-181`,
+    `metric.py:644-700`) and R_shm, the VGG16 feature distance between a
+    canvas and its layout-masked version (`metric.py:703-743`).  Both
+    towers are on-device flax ports (models/towers.py); pretrained
+    weights load from the cache dir when present, else the towers run
+    randomly initialized with a loud warning.
+
     python -m ralf_tpu.cli.evaluate --input-dir tmp/jobs/.../generated_samples_uncond \
-        --job-dir tmp/jobs/... [--fidnet-dir tmp/fidnet]
+        --job-dir tmp/jobs/... [--fidnet-dir tmp/fidnet] [--image-metrics]
 """
 
 from __future__ import annotations
@@ -47,9 +60,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input-dir", required=True)
     p.add_argument("--job-dir", default=None)
-    p.add_argument("--split", default="test")
+    p.add_argument("--split", default="test", choices=["val", "test", "both"],
+                   help="'both' evaluates val and test pickles in one run "
+                        "(`eval.py:282-308`)")
     p.add_argument("--fidnet-dir", default=None,
                    help="trained FIDNet checkpoint dir (fid_train CLI)")
+    p.add_argument("--cache-dir", default="cache",
+                   help="GT-feature cache + pretrained tower checkpoints")
+    p.add_argument("--image-metrics", action="store_true",
+                   help="add image-FID (InceptionV3 on masked canvases) "
+                        "and R_shm (VGG16 feature distance)")
     p.add_argument("--unannotated", action="store_true",
                    help="no-GT split: heuristic metrics only, no FID/prdc "
                         "(eval_unanno.py equivalent)")
@@ -57,8 +77,8 @@ def main() -> None:
 
     import jax
 
+    from ralf_tpu import cache as cache_mod
     from ralf_tpu.config import FrameworkConfig, build_datasets
-    from ralf_tpu.data.dataset import BatchLoader
     from ralf_tpu.eval.metrics import (
         compute_alignment,
         compute_generative_model_scores,
@@ -79,10 +99,6 @@ def main() -> None:
     underlay_id = names.index("underlay") if "underlay" in names else len(names) - 1
 
     train_ds, val_ds, test_ds = build_datasets(cfg)
-    ds = {"val": val_ds, "test": test_ds}[args.split]
-    idx = np.arange(len(ds))
-    gt_layout = records_to_layout(_gt_records(ds, idx), S)
-    images = ds.get_images(idx)
 
     # FIDNet features (trained checkpoint when available, else random —
     # relative comparisons remain possible, absolute FID needs training)
@@ -92,61 +108,115 @@ def main() -> None:
 
         t = FIDNetTrainer(len(names), S, job_dir=args.fidnet_dir)
         fid_params = t.load()
+        feat_tag = "trained"
     else:
         from ralf_tpu.core.layout import random_layout
 
         fid_params = fidnet.init(
             jax.random.PRNGKey(0), random_layout(np.random.default_rng(0), 2, S, len(names))
         )["params"]
+        feat_tag = "untrained"
         logging.warning("no --fidnet-dir: FID uses an UNTRAINED extractor")
 
     feat_fn = jax.jit(
         lambda lay: fidnet.apply({"params": fid_params}, lay,
                                  method=FIDNetV3.extract_features)
     )
-    gt_feats = np.asarray(feat_fn(gt_layout))
 
-    all_scores = []
-    for pkl_path in sorted(glob.glob(os.path.join(args.input_dir, f"{args.split}_*.pkl"))):
-        if pkl_path.endswith("_violation.pkl"):
+    image_feature_fns = None
+    if args.image_metrics:
+        from ralf_tpu.eval.image_metrics import tower_feature_fn
+
+        image_feature_fns = {
+            "inception": tower_feature_fn("inception", args.cache_dir),
+            "vgg": tower_feature_fn("vgg", args.cache_dir),
+        }
+
+    splits = ["val", "test"] if args.split == "both" else [args.split]
+    combined: dict[str, dict] = {}
+    for split in splits:
+        ds = {"val": val_ds, "test": test_ds}[split]
+        idx = np.arange(len(ds))
+        gt_layout = records_to_layout(_gt_records(ds, idx), S)
+        images = ds.get_images(idx)
+
+        gt_feats = None
+        if not args.unannotated:
+            # GT features cached per (dataset, split, extractor) like the
+            # reference's cache/eval_gt_features (`eval.py:335-350`)
+            gt_feats = cache_mod.load_gt_features(
+                args.cache_dir, cfg.dataset.name, split, feat_tag,
+                expect_rows=len(ds),
+            )
+            if gt_feats is None:
+                gt_feats = np.asarray(feat_fn(gt_layout))
+                cache_mod.save_gt_features(
+                    args.cache_dir, cfg.dataset.name, split, feat_tag, gt_feats
+                )
+
+        all_scores = []
+        pkl_glob = os.path.join(args.input_dir, f"{split}_*.pkl")
+        for pkl_path in sorted(glob.glob(pkl_glob)):
+            if pkl_path.endswith("_violation.pkl"):
+                continue
+            with open(pkl_path, "rb") as f:
+                data = pickle.load(f)
+            layout = records_to_layout(data["results"], S)
+            layout, validity = compute_validity(layout)
+            B = layout.label.shape[0]
+            img = images[:B]
+
+            scores = {"validity": float(validity)}
+            scores["alignment-LayoutGAN++"] = nanmean(compute_alignment(layout))
+            scores["overlap-LayoutGAN++"] = nanmean(compute_overlap(layout))
+            scores["overlay"] = nanmean(compute_overlay(layout, underlay_id))
+            ue = compute_underlay_effectiveness(layout, underlay_id)
+            scores["underlay_effectiveness_loose"] = nanmean(ue["underlay_effectiveness_loose"])
+            scores["underlay_effectiveness_strict"] = nanmean(ue["underlay_effectiveness_strict"])
+            sal = compute_saliency_aware_metrics(
+                layout, np.asarray(img, np.float32), text_id, underlay_id
+            )
+            for k, v in sal.items():
+                scores[k] = nanmean(v)
+            if gt_feats is not None:  # FID/prdc need GT layouts
+                feats = np.asarray(feat_fn(layout))
+                scores.update(compute_generative_model_scores(gt_feats, feats))
+            if image_feature_fns is not None:
+                from ralf_tpu.eval.image_metrics import (
+                    compute_image_fid,
+                    compute_rshm,
+                )
+
+                imgs_f = np.asarray(img, np.float32)
+                if not args.unannotated:
+                    gt_sub = jax.tree.map(lambda a: a[:B], gt_layout)
+                    scores.update(compute_image_fid(
+                        gt_sub, layout, imgs_f, image_feature_fns["inception"]
+                    ))
+                scores["R_shm"] = float(np.mean(
+                    compute_rshm(layout, imgs_f, image_feature_fns["vgg"])
+                ))
+            all_scores.append(scores)
+            logging.info("%s: %s", os.path.basename(pkl_path),
+                         {k: round(v, 4) for k, v in scores.items()})
+
+        if not all_scores:
+            logging.warning("no %s pickles under %s", split, args.input_dir)
             continue
-        with open(pkl_path, "rb") as f:
-            data = pickle.load(f)
-        layout = records_to_layout(data["results"], S)
-        layout, validity = compute_validity(layout)
-        B = layout.label.shape[0]
-        img = images[:B]
-
-        scores = {"validity": float(validity)}
-        scores["alignment-LayoutGAN++"] = nanmean(compute_alignment(layout))
-        scores["overlap-LayoutGAN++"] = nanmean(compute_overlap(layout))
-        scores["overlay"] = nanmean(compute_overlay(layout, underlay_id))
-        ue = compute_underlay_effectiveness(layout, underlay_id)
-        scores["underlay_effectiveness_loose"] = nanmean(ue["underlay_effectiveness_loose"])
-        scores["underlay_effectiveness_strict"] = nanmean(ue["underlay_effectiveness_strict"])
-        sal = compute_saliency_aware_metrics(
-            layout, np.asarray(img, np.float32), text_id, underlay_id
-        )
-        for k, v in sal.items():
-            scores[k] = nanmean(v)
-        if not args.unannotated:  # FID/prdc need GT layouts
-            feats = np.asarray(feat_fn(layout))
-            scores.update(compute_generative_model_scores(gt_feats, feats))
-        all_scores.append(scores)
-        logging.info("%s: %s", os.path.basename(pkl_path),
-                     {k: round(v, 4) for k, v in scores.items()})
-
-    # 3-seed mean +- std protocol (`eval.py:91-122`)
-    keys = all_scores[0].keys()
-    agg = {k: {"mean": float(np.mean([s[k] for s in all_scores])),
-               "std": float(np.std([s[k] for s in all_scores]))} for k in keys}
-    out_json = os.path.join(args.input_dir, "scores_all.json")
-    with open(out_json, "w") as f:
-        json.dump(agg, f, indent=2)
-    with open(os.path.join(args.input_dir, "scores_all.txt"), "w") as f:
-        f.write("\t".join(keys) + "\n")
-        f.write("\t".join(f"{agg[k]['mean']:.4f}±{agg[k]['std']:.4f}" for k in keys) + "\n")
-    print(json.dumps(agg, indent=2))
+        # 3-seed mean +- std protocol (`eval.py:91-122`)
+        keys = all_scores[0].keys()
+        agg = {k: {"mean": float(np.mean([s[k] for s in all_scores])),
+                   "std": float(np.std([s[k] for s in all_scores]))} for k in keys}
+        combined[split] = agg
+        suffix = "" if args.split != "both" else f"_{split}"
+        out_json = os.path.join(args.input_dir, f"scores_all{suffix}.json")
+        with open(out_json, "w") as f:
+            json.dump(agg, f, indent=2)
+        with open(os.path.join(args.input_dir, f"scores_all{suffix}.txt"), "w") as f:
+            f.write("\t".join(keys) + "\n")
+            f.write("\t".join(f"{agg[k]['mean']:.4f}±{agg[k]['std']:.4f}" for k in keys) + "\n")
+    print(json.dumps(combined if args.split == "both"
+                     else combined.get(splits[0], {}), indent=2))
 
 
 def _gt_records(ds, idx):

@@ -7,16 +7,18 @@ Parity targets:
   * `metric.py:703-743` compute_rshm — L2 distance between a pretrained
     VGG16's logits on the original vs layout-masked canvas.
 
-Both depend on pretrained torch networks that are download-only.  The
-implementations here take any `feature_fn(images [B,H,W,3]) -> [B,D]`
-(e.g. a TorchScript export run on host CPU via
-`retrieval.retriever._torch_embedder`, or a flax port once weights are on
-disk); `torch_feature_fn` builds one from a cache/*.pt file.
+Both towers are flax ports running fully on-device (models/towers.py:
+`inception` for image-FID, `vgg` for R_shm); `tower_feature_fn` builds a
+jitted extractor, loading pretrained weights from the cache dir when a
+checkpoint exists and falling back to a loudly-warned random
+initialization otherwise (this environment cannot download weights —
+the converters in utils/torch_port stand ready for real checkpoints).
+The functions below also accept any custom
+`feature_fn(images [B,H,W,3]) -> [B,D]`.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 import numpy as np
@@ -26,22 +28,21 @@ from ralf_tpu.eval.metrics import compute_generative_model_scores
 from ralf_tpu.eval.visualizer import mask_out_bbox_area
 
 
-def torch_feature_fn(kind: str) -> Callable:
-    """TorchScript feature extractor from cache/{kind}.pt (host CPU)."""
-    path = f"cache/{kind}.pt"
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"{kind} weights not found at {path}; image-side metrics need "
-            "the pretrained network (download-only — see README status)."
-        )
-    import torch
+def tower_feature_fn(kind: str, cache_dir: str = "cache",
+                     batch_size: int = 64) -> Callable:
+    """Batched on-device feature extractor for `inception` (image-FID,
+    `metric.py:644-700`) or `vgg` (R_shm, `metric.py:607-643`)."""
+    from ralf_tpu.models.towers import build_feature_fn
 
-    model = torch.jit.load(path, map_location="cpu").eval()
+    jitted = build_feature_fn(kind, cache_dir)
 
     def fn(images: np.ndarray) -> np.ndarray:
-        x = np.asarray(images, np.float32)[..., :3].transpose(0, 3, 1, 2)
-        with torch.no_grad():
-            return model(torch.tensor(x)).numpy()
+        x = np.asarray(images, np.float32)
+        out = [
+            np.asarray(jitted(x[s:s + batch_size]))
+            for s in range(0, len(x), batch_size)
+        ]
+        return np.concatenate(out, 0)
 
     return fn
 

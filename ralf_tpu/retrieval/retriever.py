@@ -15,10 +15,12 @@ top-k per shard under `shard_map` and reduces the gathered candidates —
 collectives ride ICI (SURVEY §2.10's TP-like decomposition of retrieval).
 
 Feature backbones: `coarse_saliency` (16x16 downsampled saliency,
-`train/models/retrieval/image.py:35-44`) works out of the box; DreamSim /
-CLIP ports plug in through the same [B,H,W,4] -> [B,D] signature when
-their weights are available on disk (zero-egress environments cannot
-download them).
+`train/models/retrieval/image.py:35-44`) works out of the box; the deep
+backbones — DreamSim (the paper's default), CLIP-ViT, VGG16
+(`retrieval/image.py:29-97`) — are on-device flax towers
+(models/towers.py) whose pretrained weights load through
+`utils/torch_port` when a checkpoint file exists (zero-egress
+environments run them randomly initialized, loudly).
 """
 
 from __future__ import annotations
@@ -49,45 +51,30 @@ def coarse_saliency_features(images: jax.Array, grid: int = 16) -> jax.Array:
     return feat / jnp.maximum(norm, 1e-8)
 
 
-def _torch_embedder(kind: str) -> Callable:
-    """DreamSim / CLIP-ViT / VGG16 embedding backbones
-    (`train/models/retrieval/image.py:29-97`).
+BACKBONE_NAMES = ("saliency", "dreamsim", "clip", "vgg")
 
-    These are pretrained torch networks whose weights are download-only;
-    when a TorchScript export exists at cache/{kind}.pt we run it on the
-    host CPU (feature extraction is an offline, one-time stage — the
-    top-k scan itself stays on TPU).  Zero-egress environments without
-    the file get a clear error instead of silently wrong features.
+
+@functools.lru_cache(maxsize=None)
+def get_backbone(kind: str, cache_dir: str = "cache") -> Callable:
+    """Jitted `fn(images [B,H,W,4]) -> [B,D]` gallery/query embedder.
+
+    `saliency` is the 16x16 downsampled saliency thumbnail
+    (`train/models/retrieval/image.py:35-44`).  `dreamsim` (the paper's
+    default), `clip` and `vgg` (`retrieval/image.py:29-97`) are flax
+    ports of the torch towers (models/towers.py) running fully on-device;
+    pretrained weights load from `{cache_dir}` through
+    `utils/torch_port.load_tower_if_available` when present, otherwise
+    the tower runs randomly initialized with a loud warning (this
+    environment cannot download weights).
     """
+    if kind == "saliency":
+        return jax.jit(coarse_saliency_features)
+    if kind in ("dreamsim", "clip", "vgg"):
+        from ralf_tpu.models.towers import build_feature_fn
 
-    def embed(images: jax.Array) -> jax.Array:
-        import os
-
-        path = f"cache/{kind}.pt"
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"{kind} backbone needs its TorchScript export at {path} "
-                "(pretrained weights are not downloadable in this "
-                "environment); use backbone='saliency' instead."
-            )
-        import torch
-
-        model = torch.jit.load(path, map_location="cpu").eval()
-        x = np.asarray(images)[..., :3].transpose(0, 3, 1, 2)
-        with torch.no_grad():
-            f = model(torch.tensor(x)).numpy()
-        f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
-        return jnp.asarray(f)
-
-    return embed
-
-
-BACKBONES: dict[str, Callable] = {
-    "saliency": coarse_saliency_features,
-    "dreamsim": _torch_embedder("dreamsim"),
-    "clip": _torch_embedder("clip_vit_b32"),
-    "vgg": _torch_embedder("vgg16"),
-}
+        return build_feature_fn(kind, cache_dir)
+    raise ValueError(f"unknown retrieval backbone {kind!r}; "
+                     f"choose from {BACKBONE_NAMES}")
 
 
 # --------------------------------------------------------------------------
@@ -195,13 +182,14 @@ class Retriever:
         features: np.ndarray,  # [N, D] (will be L2-normalized)
         layouts: dict,  # padded layout arrays [N, S]
         backbone: str = "saliency",
+        cache_dir: str = "cache",
     ) -> None:
         f = np.asarray(features, np.float32)
         f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
         self.features = jnp.asarray(f)
         self.layouts = {k: np.asarray(v) for k, v in layouts.items()}
         self.backbone_name = backbone
-        self.backbone = BACKBONES[backbone]
+        self.backbone = get_backbone(backbone, cache_dir)
         # gallery-sharding state (see shard_gallery)
         self.mesh: Optional[Mesh] = None
         self.mesh_axis: Optional[str] = None
@@ -252,10 +240,9 @@ class Retriever:
                 cache_dir, name, backbone, expect_rows=n
             )
             if cached is not None:
-                return cls(cached, dataset.get_layouts(np.arange(n)), backbone)
-        fn = BACKBONES[backbone]
-        if backbone == "saliency":  # torch-hook backbones can't be jitted
-            fn = jax.jit(fn)
+                return cls(cached, dataset.get_layouts(np.arange(n)),
+                           backbone, cache_dir)
+        fn = get_backbone(backbone, cache_dir or "cache")
         feats = []
         for s in range(0, n, batch_size):
             idx = np.arange(s, min(s + batch_size, n))
@@ -265,7 +252,8 @@ class Retriever:
             from ralf_tpu import cache as cache_mod
 
             cache_mod.save_gallery_features(cache_dir, name, backbone, features)
-        return cls(features, dataset.get_layouts(np.arange(n)), backbone)
+        return cls(features, dataset.get_layouts(np.arange(n)), backbone,
+                   cache_dir or "cache")
 
     def embed(self, images: np.ndarray) -> jax.Array:
         return self.backbone(jnp.asarray(images))

@@ -318,3 +318,145 @@ def load_pretrained_trunk_if_available(
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
     return port_resnet_trunk(sd, backbone, in_channels)
+
+
+# --------------------------------------------------------------------------
+# Image towers: VGG16 / InceptionV3 / ViT-B/16 / DreamSim (models/towers.py)
+# --------------------------------------------------------------------------
+
+# timm vgg16 `features.{i}` conv indices -> models.towers.VGG16Features
+# `features_{j}` plan indices (ReLU/MaxPool entries hold no parameters)
+_VGG16_IDX = ((0, 0), (2, 1), (5, 3), (7, 4), (10, 6), (12, 7), (14, 8),
+              (17, 10), (19, 11), (21, 12), (24, 14), (26, 15), (28, 16))
+
+
+def port_vgg16(sd: dict) -> dict:
+    """timm `vgg16` state_dict -> models.towers.VGG16Features params.
+    (`train/helpers/metric.py:607-643` _TimmVGGWrapper's tower.)"""
+    params = {
+        f"features_{j}": {
+            "kernel": sd[f"features.{i}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"features.{i}.bias"],
+        }
+        for i, j in _VGG16_IDX
+    }
+    for fc in ("fc1", "fc2"):
+        params[f"pre_logits_{fc}"] = {
+            "kernel": sd[f"pre_logits.{fc}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"pre_logits.{fc}.bias"],
+        }
+    return params
+
+
+def _basic_conv(sd: dict, prefix: str) -> tuple[dict, dict]:
+    """timm BasicConv2d (conv + BN eps=1e-3) -> towers.BasicConv."""
+    params = {
+        "conv": {"kernel": sd[f"{prefix}.conv.weight"].transpose(2, 3, 1, 0)},
+        "bn": {"scale": sd[f"{prefix}.bn.weight"], "bias": sd[f"{prefix}.bn.bias"]},
+    }
+    stats = {"bn": {"mean": sd[f"{prefix}.bn.running_mean"],
+                    "var": sd[f"{prefix}.bn.running_var"]}}
+    return params, stats
+
+
+def port_inception_v3(sd: dict) -> tuple[dict, dict]:
+    """timm `inception_v3` state_dict -> (params, batch_stats) for
+    models.towers.InceptionV3Features (`metric.py:644-700`'s image-FID
+    tower).  Names mirror torch, so this walks the BasicConv2d leaves."""
+    convs = sorted({k.rsplit(".conv.weight", 1)[0]
+                    for k in sd if k.endswith(".conv.weight")})
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        for p in path[:-1]:
+            tree = tree.setdefault(p, {})
+        tree[path[-1]] = leaf
+
+    for name in convs:
+        if name.startswith("AuxLogits"):  # deleted in eval towers
+            continue
+        p, s = _basic_conv(sd, name)
+        put(params, name.split("."), p)
+        put(stats, name.split("."), s)
+    return params, stats
+
+
+def port_vit_b16(sd: dict, prefix: str = "", depth: Optional[int] = None) -> dict:
+    """timm vision_transformer (ViT-B/16) state_dict -> models.towers.ViTB16
+    params.  `prefix` selects a tower inside a larger checkpoint (e.g. one
+    DreamSim ensemble member); LoRA deltas must already be merged.  `depth`
+    defaults to the block count present in the state_dict."""
+    g = lambda k: sd[f"{prefix}{k}"]
+    if depth is None:
+        depth = 1 + max(
+            int(k[len(prefix) + 7:].split(".", 1)[0])
+            for k in sd
+            if k.startswith(f"{prefix}blocks.")
+        )
+    params: dict = {
+        "cls_token": g("cls_token"),
+        "pos_embed": g("pos_embed"),
+        "patch_embed": {"kernel": g("patch_embed.proj.weight").transpose(2, 3, 1, 0)},
+        "norm": _layernorm(sd, f"{prefix}norm"),
+    }
+    if f"{prefix}patch_embed.proj.bias" in sd:
+        params["patch_embed"]["bias"] = g("patch_embed.proj.bias")
+    if f"{prefix}norm_pre.weight" in sd:
+        params["norm_pre"] = _layernorm(sd, f"{prefix}norm_pre")
+    for i in range(depth):
+        b = f"{prefix}blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": _layernorm(sd, f"{b}.norm1"),
+            "qkv": _dense(sd, f"{b}.attn.qkv"),
+            "proj": _dense(sd, f"{b}.attn.proj"),
+            "norm2": _layernorm(sd, f"{b}.norm2"),
+            "mlp_fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{b}.mlp.fc2"),
+        }
+    return params
+
+
+def port_dreamsim(sd: dict, tower_prefixes: Optional[dict] = None) -> dict:
+    """DreamSim ensemble checkpoint (three LoRA-merged ViT-B/16 extractors,
+    `train/models/retrieval/image.py:72-93`) ->
+    models.towers.DreamSimEnsemble params.
+
+    `tower_prefixes` maps our tower names (dino/clip/open_clip) to the
+    checkpoint's per-tower key prefixes; the default matches a state_dict
+    saved as `{dino|clip|open_clip}.<timm vit keys>`.
+    """
+    tower_prefixes = tower_prefixes or {
+        "dino": "dino.", "clip": "clip.", "open_clip": "open_clip."
+    }
+    return {
+        name: port_vit_b16(sd, prefix)
+        for name, prefix in tower_prefixes.items()
+    }
+
+
+def load_tower_if_available(path: str, kind: str):
+    """Port a torch state_dict checkpoint at `path` into the matching
+    models.towers module params; None when the file is absent (zero-egress
+    environments cannot download pretrained towers).
+
+    kind: 'vgg16' -> params; 'inception_v3' -> (params, batch_stats);
+    'clip' / 'dino' -> ViTB16 params; 'dreamsim' -> ensemble params.
+    """
+    import os
+
+    if not os.path.exists(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if kind == "vgg16":
+        return port_vgg16(sd)
+    if kind == "inception_v3":
+        return port_inception_v3(sd)
+    if kind in ("clip", "dino"):
+        return port_vit_b16(sd)
+    if kind == "dreamsim":
+        return port_dreamsim(sd)
+    raise ValueError(kind)
