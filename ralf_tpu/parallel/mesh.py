@@ -15,9 +15,11 @@ implicit gradient all-reduce.  The TPU-native equivalent is one
     workload.  The same axis doubles as a tensor-parallel axis for the
     decoder logit head on very large vocabularies.
 
-Multi-slice (DCN) extends the same mesh with an outer "dcn" axis via
-`jax.experimental.mesh_utils.create_hybrid_device_mesh`; batch stays on
-the DCN axis so only gradient reduction crosses slices.
+  * axis "dcn"     — multi-slice data parallelism (`make_hybrid_mesh`):
+    an OUTER axis across TPU slices.  Batch is sharded over (dcn, data)
+    jointly, parameters stay replicated, so the only cross-slice traffic
+    is the gradient all-reduce — the one collective that tolerates DCN
+    latency.  Gallery sharding stays strictly within a slice (ICI).
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 GALLERY_AXIS = "gallery"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(
@@ -47,8 +50,52 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def make_hybrid_mesh(
+    ici_shape: Sequence[int],
+    num_slices: Optional[int] = None,
+    axis_names: Sequence[str] = (DCN_AXIS, DATA_AXIS, GALLERY_AXIS),
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Multi-slice mesh: outer `dcn` axis across slices, `ici_shape` axes
+    within each slice (SURVEY §2.10's TPU-native DDP extension).
+
+    On real multi-slice hardware (devices expose distinct `slice_index`es)
+    the assignment comes from `mesh_utils.create_hybrid_device_mesh`, which
+    keeps each slice contiguous so only the dcn axis crosses the data-center
+    network.  On single-slice or virtual (CPU) device sets — where there is
+    no slice topology to respect — the same logical mesh is built by
+    reshaping, so the hybrid program compiles and runs anywhere.
+    """
+    devices = devices if devices is not None else jax.devices()
+    ici = int(np.prod(ici_shape))
+    if num_slices is None:
+        assert len(devices) % ici == 0, (len(devices), ici_shape)
+        num_slices = len(devices) // ici
+    assert num_slices * ici == len(devices), (num_slices, ici_shape, len(devices))
+
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) > 1:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=tuple(ici_shape),
+            dcn_mesh_shape=(num_slices,) + (1,) * (len(ici_shape) - 1),
+            devices=devices,
+        )
+        # hybrid mesh comes back as (dcn*ici_0, ici_1, ...); lift the dcn
+        # axis out front to match axis_names
+        arr = arr.reshape((num_slices, *ici_shape))
+    else:
+        arr = np.asarray(devices).reshape((num_slices, *ici_shape))
+    return Mesh(arr, tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
+    """Leading-axis (batch) sharding over the data axis — jointly over
+    (dcn, data) on a hybrid mesh, so every device holds a distinct
+    microbatch and gradients all-reduce across both axes."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
