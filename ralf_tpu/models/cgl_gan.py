@@ -145,7 +145,7 @@ class CGLGANGenerator:
                  auxiliary_task: Optional[str] = "uncond",
                  max_seq_length: int = 10, image_hw: tuple[int, int] = (350, 240),
                  with_retrieval: bool = False, top_k: int = 16,
-                 use_reorder: bool = False) -> None:
+                 use_reorder: bool = False, use_seq_dist: bool = False) -> None:
         self.num_labels = num_labels
         self.K = num_labels + 1  # + no-object
         self.cfg = cfg
@@ -155,6 +155,13 @@ class CGLGANGenerator:
         self.with_retrieval = with_retrieval
         self.use_reorder = use_reorder
         self.adv_weight = 1.0
+        # element-count EMA (core/seq_length.py) — always tracked; opt-in
+        # use for uncond init (the reference initializer draws the
+        # no-object class from the flat coef prior instead, `cgl.py:34`)
+        from ralf_tpu.core.seq_length import SeqLengthDistribution
+
+        self.use_seq_dist = use_seq_dist
+        self.seq_dist = SeqLengthDistribution(max_seq_length)
         self.coef = tuple([1.0] * self.K)  # `cgl.py:34`
         self.core = CGLGeneratorCore(
             num_classes_total=self.K, cfg=cfg, with_retrieval=with_retrieval,
@@ -208,8 +215,13 @@ class CGLGANGenerator:
         target_packed = np.asarray(pack_layout(layout, self.K))
         if self.use_reorder:
             target_packed = self._reorder_packed(target_packed)
+        self.seq_dist.update(np.asarray(layout.mask))
+        n_elements = (
+            self.seq_dist.sample(rng, target_packed.shape[0])
+            if self.use_seq_dist and self.task == "uncond" else None
+        )
         init = random_init_layout(rng, target_packed.shape[0], self.S, self.K,
-                                  self.coef)
+                                  self.coef, n_elements=n_elements)
         init = self._condition_init(init, target_packed, rng)
         inputs = {"image": np.asarray(batch["image"]), "layout": init}
         if self.with_retrieval:

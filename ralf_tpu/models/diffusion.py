@@ -550,6 +550,7 @@ class LayoutDMGenerator:
         image_hw: tuple[int, int] = (350, 240),
         with_retrieval: bool = False,
         top_k: int = 16,
+        use_seq_dist: bool = False,
     ) -> None:
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -586,6 +587,14 @@ class LayoutDMGenerator:
         # importance-sampling stats (`discrete/base.py:189-212,363-372`)
         self.Lt_history = np.zeros((num_timesteps,))
         self.Lt_count = np.zeros((num_timesteps,))
+        # element-count EMA (core/seq_length.py, shared infra): always
+        # tracked; opt-in at sampling, where it pins trailing pads through
+        # the strong-constraint path (the reference lets the transition
+        # matrix emit pads freely)
+        from ralf_tpu.core.seq_length import SeqLengthDistribution
+
+        self.use_seq_dist = use_seq_dist
+        self.seq_dist = SeqLengthDistribution(tokenizer.max_seq_length)
 
     def _dummy_retrieved(self, batch_size: int):
         if not self.with_retrieval:
@@ -634,6 +643,7 @@ class LayoutDMGenerator:
             self.Lt_count[ti] += 1
 
     def preprocess(self, batch, rng: np.random.Generator):
+        self.seq_dist.update(np.asarray(batch["layout"].mask))
         enc = self.tokenizer.encode(batch["layout"])
         seq = np.asarray(enc["seq"])
         B = seq.shape[0]
@@ -701,6 +711,20 @@ class LayoutDMGenerator:
             z0 = index_to_log_onehot(jnp.asarray(cond.seq, jnp.int32), V)
             strong_seq = jnp.asarray(cond.seq, jnp.int32)
             strong_mask = jnp.asarray(cond.seq_mask, bool)
+        elif self.use_seq_dist and task == "uncond":
+            # element counts ~ the training EMA; positions beyond 5*n are
+            # pinned to pad via the strong-constraint replacement path
+            rng_host = np.random.default_rng(
+                int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+            )
+            n = self.seq_dist.sample(rng_host, B)  # [B] in [1, S]
+            beyond = np.arange(L)[None, :] >= (
+                n[:, None] * tok.N_var_per_element
+            )
+            seq_np = np.where(beyond, tok.pad_id, 0).astype(np.int32)
+            strong_seq = jnp.asarray(seq_np)
+            strong_mask = jnp.asarray(beyond)
+            z0 = jnp.full((B, L, V), LOG_EPS).at[:, :, -1].set(0.0)
         else:
             z0 = jnp.full((B, L, V), LOG_EPS).at[:, :, -1].set(0.0)
             strong_seq = None

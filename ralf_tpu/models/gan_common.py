@@ -69,11 +69,19 @@ def unpack_outputs(pred_logits: jax.Array, pred_boxes: jax.Array,
 
 
 def random_init_layout(rng: np.random.Generator, batch: int, S: int, K: int,
-                       coef: Optional[tuple] = None) -> np.ndarray:
+                       coef: Optional[tuple] = None,
+                       n_elements: Optional[np.ndarray] = None) -> np.ndarray:
     """Gaussian random packed layout (`layout_initializer.py:128-168`):
-    class ~ coef prior, box from N(0.5, 0.15) xyxy corners -> cxcywh."""
+    class ~ coef prior, box from N(0.5, 0.15) xyxy corners -> cxcywh.
+
+    `n_elements` ([batch] ints in [1, S], e.g. from
+    core.seq_length.SeqLengthDistribution) pins the element count of each
+    init: positions >= n start as the no-object class (K-1)."""
     coef = np.asarray(coef if coef is not None else [1.0] * K, np.float64)
     cls_idx = rng.choice(K, size=(batch, S), p=coef / coef.sum())
+    if n_elements is not None:
+        beyond = np.arange(S)[None, :] >= np.asarray(n_elements)[:, None]
+        cls_idx = np.where(beyond, K - 1, cls_idx)
     cls = np.eye(K, dtype=np.float32)[cls_idx]
     xyxy = rng.normal(0.5, 0.15, size=(batch, S, 4)).astype(np.float32)
     x0, y0, x1, y1 = np.split(xyxy, 4, axis=-1)

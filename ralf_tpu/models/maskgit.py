@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from ralf_tpu.core.conditioning import Condition, get_condition, normalize_task
 from ralf_tpu.core.layout import Layout
+from ralf_tpu.core.seq_length import SeqLengthDistribution
 from ralf_tpu.core.mask import batch_topk_mask, mask_schedule, sample_mask
 from ralf_tpu.core.sampling import NEG_INF, SamplingConfig, sample
 from ralf_tpu.core.tokenizer import LayoutSequenceTokenizer
@@ -100,11 +101,9 @@ class MaskGITGenerator:
         self.token_mask = tokenizer.token_mask
         self.mask_id = tokenizer.name_to_id("mask")
         self.pad_id = tokenizer.pad_id
-        # element-count EMA (`common/common.py:167-197`), host-side
-        self.n_elements_prob = np.full(
-            (tokenizer.max_seq_length,), 1.0 / tokenizer.max_seq_length
-        )
-        self._seq_dist_weight = 0.999
+        # element-count EMA (`common/common.py:167-197`, shared core
+        # module — `maskgit.py:114,285` owns the reference's only instance)
+        self.seq_dist = SeqLengthDistribution(tokenizer.max_seq_length)
 
     # ---- init ------------------------------------------------------------
 
@@ -119,13 +118,6 @@ class MaskGITGenerator:
 
     # ---- training ----------------------------------------------------------
 
-    def update_seq_dist(self, elem_mask: np.ndarray) -> None:
-        n = elem_mask.sum(1)
-        S = self.tokenizer.max_seq_length
-        batch_prob = np.bincount(n, minlength=S + 1)[1:] / len(n)
-        w = self._seq_dist_weight
-        self.n_elements_prob = w * self.n_elements_prob + (1 - w) * batch_prob
-
     def build_condition(self, batch: dict, rng: np.random.Generator,
                         task: Optional[str] = None):
         task = self.task if task is None else normalize_task(task)
@@ -136,7 +128,7 @@ class MaskGITGenerator:
 
     def preprocess(self, batch: dict, rng: np.random.Generator):
         """Random masking (`maskgit.py:279-310`, use_padding_as_vocab)."""
-        self.update_seq_dist(np.asarray(batch["layout"].mask))
+        self.seq_dist.update(np.asarray(batch["layout"].mask))
         enc = self.tokenizer.encode(batch["layout"])
         seq = np.asarray(enc["seq"])
         B, T = seq.shape

@@ -70,7 +70,7 @@ def test_train_loss(setup):
     )
     assert np.isfinite(float(loss))
     # seq-length EMA moved away from uniform
-    assert not np.allclose(gen.n_elements_prob, 1.0 / S)
+    assert not np.allclose(gen.seq_dist.n_elements_prob, 1.0 / S)
 
 
 def test_sample_uncond_no_mask_tokens_left(setup):
