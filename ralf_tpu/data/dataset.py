@@ -200,14 +200,19 @@ class HFParquetDataset(LayoutDatasetBase):
         return self._ids[indices]
 
     def get_images(self, indices: np.ndarray) -> np.ndarray:
+        """Batched decode: ONE arrow fetch for the whole index list (the
+        reference — and round-1 — read records one at a time, a host-side
+        bottleneck at device decode rates; VERDICT r1 #9)."""
         H, W = self.cfg.image_h, self.cfg.image_w
         out = np.zeros((len(indices), H, W, 4), np.float32)
-        for o, idx in enumerate(indices):
-            rec = self._ds[int(idx)]
-            img = np.asarray(rec["image"], np.float32) / 255.0
-            sal = np.asarray(rec["saliency"], np.float32)
-            if sal.max() > 1.0:
-                sal = sal / 255.0
+        batch = self._ds[[int(i) for i in indices]]
+        for o, (img, sal) in enumerate(zip(batch["image"], batch["saliency"])):
+            img = np.asarray(img)
+            sal = np.asarray(sal)
+            img = (img / 255.0 if img.dtype == np.uint8
+                   else img).astype(np.float32)
+            sal = (sal / 255.0 if sal.dtype == np.uint8
+                   else sal).astype(np.float32)
             out[o, ..., :3] = img[..., :3]
             out[o, ..., 3] = sal if sal.ndim == 2 else sal[..., 0]
         return out
@@ -231,6 +236,7 @@ class BatchLoader:
         seed: int = 0,
         with_images: bool = True,
         use_native: bool = True,
+        prefetch: int = 2,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -242,6 +248,10 @@ class BatchLoader:
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
         self.use_native = use_native
+        # batches ahead to build on a host thread so image decode overlaps
+        # device compute (the reference leans on torch DataLoader workers
+        # for this, `train.py:157-167`); 0 = fully synchronous
+        self.prefetch = prefetch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -269,7 +279,7 @@ class BatchLoader:
                 out[k][b, :n] = v
         return out
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batches(self) -> Iterator[dict]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -288,3 +298,35 @@ class BatchLoader:
             if self.with_images:
                 batch["image"] = self.dataset.get_images(idx)
             yield batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        # bounded producer thread: batch k+prefetch builds (layout
+        # transforms + image decode) while the consumer runs batch k on
+        # device.  One thread suffices — decode is numpy/PIL (releases the
+        # GIL in the hot parts) and batches are large.
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END, _ERR = object(), object()
+
+        def producer() -> None:
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:  # surface errors in the consumer
+                q.put((_ERR, e))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item

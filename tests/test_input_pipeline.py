@@ -1,0 +1,118 @@
+"""Real-data input path (VERDICT r1 #9): batched parquet image decode and
+prefetch overlap, so host feeding can't silently cap device throughput."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ralf_tpu.data.dataset import (
+    BatchLoader,
+    DatasetConfig,
+    HFParquetDataset,
+    SyntheticPosterDataset,
+)
+
+
+@pytest.fixture(scope="module")
+def parquet_dir(tmp_path_factory):
+    hfds = pytest.importorskip("datasets")
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("pq")
+    rng = np.random.default_rng(0)
+    H, W = 40, 32
+    records = []
+    for i in range(13):
+        n = int(rng.integers(1, 5))
+        records.append({
+            "id": f"s{i}",
+            "image": Image.fromarray(
+                (rng.random((H, W, 3)) * 255).astype("uint8")),
+            "saliency": Image.fromarray(
+                (rng.random((H, W)) * 255).astype("uint8")),
+            "label": rng.integers(0, 3, n).tolist(),
+            "center_x": rng.random(n).tolist(),
+            "center_y": rng.random(n).tolist(),
+            "width": rng.random(n).tolist(),
+            "height": rng.random(n).tolist(),
+        })
+    ds = hfds.Dataset.from_list(records)
+    out = root / "train"
+    out.mkdir()
+    ds.to_parquet(str(out / "train-00000-of-00001.parquet"))
+    return str(root), H, W
+
+
+def test_parquet_batched_decode_matches_per_sample(parquet_dir):
+    root, H, W = parquet_dir
+    cfg = DatasetConfig(name="pku10", data_dir=root, image_h=H, image_w=W)
+    ds = HFParquetDataset(cfg, "train")
+    assert len(ds) == 13
+
+    idx = np.asarray([7, 0, 12, 3])
+    batched = ds.get_images(idx)
+    assert batched.shape == (4, H, W, 4)
+    assert batched.dtype == np.float32
+    assert 0.0 <= batched.min() and batched.max() <= 1.0
+    # the batched arrow fetch decodes exactly what per-record access does
+    for o, i in enumerate(idx):
+        rec = ds._ds[int(i)]
+        np.testing.assert_allclose(
+            batched[o, ..., :3], np.asarray(rec["image"], np.float32) / 255.0
+        )
+        np.testing.assert_allclose(
+            batched[o, ..., 3], np.asarray(rec["saliency"], np.float32) / 255.0
+        )
+    # layouts line up with ids (arrow order preserved)
+    lay = ds.get_layouts(idx)
+    assert (ds.get_ids(idx) == np.asarray([f"s{i}" for i in idx])).all()
+    assert lay["mask"].shape == (4, cfg.max_seq_length)
+
+
+class _SlowDataset(SyntheticPosterDataset):
+    """Synthetic dataset with an artificial per-batch decode cost."""
+
+    DECODE_S = 0.03
+
+    def get_images(self, indices):
+        time.sleep(self.DECODE_S)
+        return super().get_images(indices)
+
+
+def test_prefetch_overlaps_decode_with_consumer():
+    ds = _SlowDataset(DatasetConfig(name="synthetic"), size=64, seed=0,
+                      image_hw=(16, 12))
+    consume_s = 0.03
+    n_batches = 8
+
+    def run(prefetch):
+        loader = BatchLoader(ds, 8, shuffle=False, seed=0, prefetch=prefetch)
+        t0 = time.perf_counter()
+        seen = 0
+        ids = []
+        for batch in loader:
+            time.sleep(consume_s)  # stand-in for device compute
+            seen += 1
+            ids.append(np.asarray(batch["id"]))
+        assert seen == n_batches
+        return time.perf_counter() - t0, np.concatenate(ids)
+
+    t_sync, ids_sync = run(prefetch=0)
+    t_pre, ids_pre = run(prefetch=2)
+    np.testing.assert_array_equal(ids_sync, ids_pre)  # order preserved
+    # sequential: ~n*(decode+consume); overlapped: ~n*max(decode,consume).
+    # assert well below the sequential bound (0.8x leaves CI slack)
+    assert t_pre < 0.8 * t_sync, (t_pre, t_sync)
+
+
+def test_prefetch_propagates_producer_errors():
+    class _Boom(SyntheticPosterDataset):
+        def get_images(self, indices):
+            raise RuntimeError("decode failed")
+
+    ds = _Boom(DatasetConfig(name="synthetic"), size=16, seed=0,
+               image_hw=(16, 12))
+    loader = BatchLoader(ds, 8, shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)
