@@ -54,6 +54,10 @@ def main() -> None:
         DatasetConfig(name="synthetic"), size=256, seed=1, image_hw=HW
     )
     retriever = Retriever.build(gallery, "saliency")
+    # frozen-tower gallery features precomputed ONCE (fixed gallery + frozen
+    # FIDNet => pure function of the checkpoint); each sample call then
+    # gathers [B,K,256] rows instead of running B*K FIDNet forwards
+    gallery_feats = gen.precompute_retrieved_feats(variables, retriever.layouts)
 
     def sample_fn(variables, image, retrieved, const_seq, const_keep, forced, key):
         memory = gen.core.apply(
@@ -75,7 +79,8 @@ def main() -> None:
             DatasetConfig(name="synthetic"), size=B, seed=0, image_hw=HW
         )
         loader = RetrievalAugmentedLoader(
-            BatchLoader(ds, B, shuffle=False, seed=0), retriever, top_k=16
+            BatchLoader(ds, B, shuffle=False, seed=0), retriever, top_k=16,
+            feats_table=gallery_feats,
         )
         batch = next(iter(loader))
         cond, _ = gen.build_condition(batch, np.random.default_rng(0), task="uncond")

@@ -127,7 +127,16 @@ def main() -> None:
                 cfg.cache_dir, cfg.dataset.name, args.split,
                 retriever.backbone_name, top_k, expect_rows=len(ds),
             )
-        loader = RetrievalAugmentedLoader(loader, retriever, top_k, table=table)
+        # RALF-family: precompute the frozen layout tower's gallery features
+        # once per run (fixed gallery + frozen FIDNet => pure function of the
+        # checkpoint); skips the per-batch B*K FIDNet forward in the model
+        feats_table = None
+        if hasattr(gen, "precompute_retrieved_feats"):
+            feats_table = gen.precompute_retrieved_feats(
+                variables, retriever.layouts
+            )
+        loader = RetrievalAugmentedLoader(loader, retriever, top_k, table=table,
+                                          feats_table=feats_table)
 
     if args.single_image:
         # single-canvas demo (`inference_single_data.py:39-43`): a B=1
@@ -153,6 +162,8 @@ def main() -> None:
         if needs_retrieval:
             nbrs = np.asarray(retriever.topk(retriever.embed(img), top_k))
             batch["retrieved"] = retriever.gather_neighbors(nbrs)
+            if feats_table is not None:
+                batch["retrieved"]["feats"] = feats_table[nbrs]
             batch["retrieved_indices"] = nbrs
         batches = [batch]
     else:

@@ -191,18 +191,28 @@ class RALFCore(nn.Module):
 
         Folds K into the batch axis: ONE FIDNet forward instead of the
         reference's per-k loop (`retrieval_augmented_autoreg.py:539-568`).
+
+        If the dict carries precomputed tower features ('feats' [B,K,256],
+        gathered from `RALFGenerator.precompute_retrieved_feats`'s gallery
+        table), the frozen FIDNet forward is skipped entirely — the tower
+        is frozen AND the gallery is fixed, so its features are a pure
+        function of the checkpoint, not of the query batch.
         """
-        lab = retrieved["label"]
-        B, K, S = lab.shape
-        flat = Layout(
-            label=lab.reshape(B * K, S).astype(jnp.int32),
-            center_x=retrieved["center_x"].reshape(B * K, S),
-            center_y=retrieved["center_y"].reshape(B * K, S),
-            width=retrieved["width"].reshape(B * K, S),
-            height=retrieved["height"].reshape(B * K, S),
-            mask=retrieved["mask"].reshape(B * K, S),
-        )
-        feats = self.layout_encoder.extract_features(flat)  # [B*K, 256]
+        if "feats" in retrieved and retrieved["feats"] is not None:
+            feats = retrieved["feats"].astype(self.cfg.dtype or jnp.float32)
+            B, K = feats.shape[:2]
+        else:
+            lab = retrieved["label"]
+            B, K, S = lab.shape
+            flat = Layout(
+                label=lab.reshape(B * K, S).astype(jnp.int32),
+                center_x=retrieved["center_x"].reshape(B * K, S),
+                center_y=retrieved["center_y"].reshape(B * K, S),
+                width=retrieved["width"].reshape(B * K, S),
+                height=retrieved["height"].reshape(B * K, S),
+                mask=retrieved["mask"].reshape(B * K, S),
+            )
+            feats = self.layout_encoder.extract_features(flat)  # [B*K, 256]
         feats = jax.lax.stop_gradient(feats)  # frozen tower
         ref = self.layout_adapter(feats.reshape(B, K, -1), deterministic=not train)
         return self.pos_emb_1d(ref, deterministic=not train)
@@ -290,6 +300,12 @@ class RALFCore(nn.Module):
         )
 
 
+def _pad0(a: np.ndarray, pad: int) -> np.ndarray:
+    if pad <= 0:
+        return a
+    return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+
 class RALFGenerator(AutoregGenerator):
     """Generator-protocol wrapper for RALF.
 
@@ -358,7 +374,44 @@ class RALFGenerator(AutoregGenerator):
     @staticmethod
     def _retrieved_arrays(retrieved: dict) -> dict:
         keys = ("label", "center_x", "center_y", "width", "height", "mask")
-        return {k: jnp.asarray(np.asarray(retrieved[k])) for k in keys}
+        out = {k: jnp.asarray(np.asarray(retrieved[k])) for k in keys}
+        if retrieved.get("feats") is not None:
+            out["feats"] = jnp.asarray(np.asarray(retrieved["feats"]))
+        return out
+
+    def precompute_retrieved_feats(
+        self, variables, gallery_layouts: dict, chunk: int = 4096
+    ) -> np.ndarray:
+        """FIDNet CLS features [G, 256] for every gallery layout, once.
+
+        The layout tower is frozen (stop_gradient; the optimizer never sees
+        it) and the retrieval gallery is fixed, so these features depend
+        only on the checkpoint.  The reference re-encodes the k neighbors
+        inside every forward (`retrieval_augmented_autoreg.py:539-568`);
+        gathering rows of this table (batch['retrieved']['feats']) removes
+        B*K FIDNet forwards from each sample/loss call.
+        """
+        def _extract(mdl, layout):
+            return mdl.layout_encoder.extract_features(layout)
+
+        fn = jax.jit(lambda v, lay: self.core.apply(v, lay, method=_extract))
+        G = np.asarray(gallery_layouts["label"]).shape[0]
+        chunk = min(chunk, G)
+        out = []
+        for s in range(0, G, chunk):
+            sl = slice(s, min(s + chunk, G))
+            n = sl.stop - sl.start
+            pad = chunk - n  # fixed shape -> one compile
+            lay = Layout(
+                label=_pad0(np.asarray(gallery_layouts["label"][sl], np.int32), pad),
+                center_x=_pad0(np.asarray(gallery_layouts["center_x"][sl], np.float32), pad),
+                center_y=_pad0(np.asarray(gallery_layouts["center_y"][sl], np.float32), pad),
+                width=_pad0(np.asarray(gallery_layouts["width"][sl], np.float32), pad),
+                height=_pad0(np.asarray(gallery_layouts["height"][sl], np.float32), pad),
+                mask=_pad0(np.asarray(gallery_layouts["mask"][sl], bool), pad),
+            )
+            out.append(np.asarray(fn(variables, lay))[:n].astype(np.float32))
+        return np.concatenate(out, axis=0)
 
     def preprocess(self, batch: dict, rng: np.random.Generator):
         assert "retrieved" in batch, "RALF needs retrieval-augmented batches"

@@ -2,15 +2,14 @@
 
 Reference equivalent: `image2layout/hfds_builder/inpainting.py` +
 `models/inpainting.py` — removes the GT layout elements from train
-posters with the TorchScript big-lama model; the inpaint mask is the
-dilated union of the GT boxes.
+posters with the big-lama model; the inpaint mask is the dilated union
+of the GT boxes.
 
 The mask construction is reimplemented here in numpy (no OpenCV).  The
-LaMa network itself ships only as a downloadable TorchScript binary
-(`big-lama.pt`, `models/inpainting.py:15-40`); when that file exists on
-disk we run it through torch (a one-time CPU preprocessing step outside
-the TPU framework proper — SURVEY §2.9), otherwise `inpaint` raises with
-instructions.
+LaMa FFC generator itself is a native jax module (`preprocess/lama.py`)
+that runs batched on the TPU; the released `big-lama.pt` TorchScript
+binary is used only as a weight container (torch loads it on the host,
+`convert_lama_state_dict` maps it — parity pinned by tests/test_lama.py).
 """
 
 from __future__ import annotations
@@ -43,25 +42,40 @@ def box_union_mask(layout: Layout, height: int, width: int,
 
 
 def inpaint(images: np.ndarray, masks: np.ndarray,
-            lama_path: str = "cache/big-lama.pt") -> np.ndarray:
-    """[B, H, W, 3] uint8/float + [B, H, W] masks -> inpainted images."""
+            lama_path: str = "cache/big-lama.pt",
+            batch_size: int = 8) -> np.ndarray:
+    """[B, H, W, 3] uint8/float images + [B, H, W] {0,255} masks ->
+    inpainted float images in [0, 1].
+
+    Runs the jax FFC generator batched on the accelerator (the reference
+    loops one sample at a time through TorchScript on the host,
+    `models/inpainting.py:41-58`).  Inputs are padded to a multiple of 8
+    (`prepare_img_and_mask`) and cropped back.
+    """
     if not os.path.exists(lama_path):
         raise FileNotFoundError(
-            f"LaMa TorchScript model not found at {lama_path}. Download "
-            "big-lama.pt (see the reference README) and pass its path; "
-            "inpainting is a one-time offline preprocessing step."
+            f"LaMa weights not found at {lama_path}. Download big-lama.pt "
+            "(see the reference README) and pass its path; inpainting is a "
+            "one-time offline preprocessing step."
         )
-    import torch
+    from ralf_tpu.preprocess.lama import (
+        infer_config,
+        lama_forward,
+        load_lama_params,
+        pad_to_modulo,
+    )
 
-    model = torch.jit.load(lama_path, map_location="cpu").eval()
+    params = load_lama_params(lama_path)
+    cfg = infer_config(params)
     imgs = np.asarray(images, np.float32)
     if imgs.max() > 1.0:
         imgs = imgs / 255.0
+    msk = (np.asarray(masks) > 127).astype(np.float32)[..., None]
+    imgs_p, (H, W) = pad_to_modulo(imgs)
+    msk_p, _ = pad_to_modulo(msk)
     out = []
-    with torch.no_grad():
-        for img, msk in zip(imgs, masks):
-            ti = torch.tensor(img.transpose(2, 0, 1))[None]
-            tm = torch.tensor((msk > 127).astype(np.float32))[None, None]
-            res = model(ti, tm)[0].numpy().transpose(1, 2, 0)
-            out.append(res)
-    return np.stack(out)
+    for s in range(0, imgs_p.shape[0], batch_size):
+        res = lama_forward(params, imgs_p[s : s + batch_size],
+                           msk_p[s : s + batch_size], cfg)
+        out.append(np.asarray(res, np.float32))
+    return np.concatenate(out)[:, :H, :W]

@@ -35,12 +35,14 @@ class RetrievalAugmentedLoader:
         random_retrieval: bool = False,  # ablation `random_retrieval_dataset_wrapper.py`
         table: Optional[np.ndarray] = None,
         seed: int = 0,
+        feats_table: Optional[np.ndarray] = None,  # [G, D] frozen-tower feats
     ) -> None:
         self.loader = loader
         self.retriever = retriever
         self.top_k = top_k
         self._rng = np.random.default_rng(seed)
         self.random_retrieval = random_retrieval
+        self.feats_table = feats_table
         if table is None and not random_retrieval:
             table = retriever.precompute_table(
                 loader.dataset, top_k, is_train_split=is_train_split
@@ -65,5 +67,10 @@ class RetrievalAugmentedLoader:
             else:
                 nbrs = self.table[idx][:, : self.top_k]
             batch["retrieved"] = self.retriever.gather_neighbors(nbrs)
+            if self.feats_table is not None:
+                # precomputed frozen-tower features (see
+                # RALFGenerator.precompute_retrieved_feats): skips the
+                # per-batch B*K FIDNet forward inside the model
+                batch["retrieved"]["feats"] = self.feats_table[nbrs]
             batch["retrieved_indices"] = nbrs
             yield batch

@@ -55,3 +55,36 @@ def test_fusion_modes(fusion, extra):
                        jax.tree.map(jnp.asarray, targets), train=True,
                        rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(float(loss))
+
+
+def test_precomputed_feats_match_fidnet_path():
+    """Gallery feature table (precompute_retrieved_feats) must reproduce the
+    in-model frozen FIDNet forward bit-for-bit: the tower is frozen and the
+    gallery fixed, so batch['retrieved']['feats'] is a pure cache."""
+    tok = LayoutSequenceTokenizer(
+        TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16)
+    )
+    gen = RALFGenerator(tok, TINY, "uncond", image_hw=HW, top_k=K)
+    variables = gen.init(jax.random.PRNGKey(0))
+
+    ds = SyntheticPosterDataset(DatasetConfig(name="synthetic"), size=8, seed=0,
+                                image_hw=HW)
+    retriever = Retriever.build(ds)
+    feats = gen.precompute_retrieved_feats(variables, retriever.layouts, chunk=3)
+    assert feats.shape == (8, 256)
+
+    loader = RetrievalAugmentedLoader(BatchLoader(ds, 2, shuffle=False, seed=0),
+                                      retriever, top_k=K)
+    batch = next(iter(loader))
+    rng = np.random.default_rng(0)
+    cond, _ = gen.build_condition(batch, rng)
+    mem_layout = gen.encode_memory(variables, cond)
+
+    batch["retrieved"]["feats"] = feats[batch["retrieved_indices"]]
+    cond2, _ = gen.build_condition(batch, np.random.default_rng(0))
+    assert cond2.retrieved.get("feats") is not None
+    mem_feats = gen.encode_memory(variables, cond2)
+    # not bitwise: the table is built at chunk-size batch, the in-model path
+    # at B*K — XLA tiles the matmuls differently per shape (f32 noise only)
+    np.testing.assert_allclose(np.asarray(mem_feats), np.asarray(mem_layout),
+                               rtol=0, atol=1e-5)
