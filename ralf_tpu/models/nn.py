@@ -49,6 +49,11 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
     # fuse the single-query decode attention into one Pallas kernel on TPU
     use_pallas_decode: bool = True
+    # fold the q/k/v projections INTO the self-attention kernel: measured
+    # ~4% SLOWER end-to-end at B=2048 (bb=4 cap; bb=8 exceeds scoped VMEM;
+    # the extra in-kernel dots serialize with softmax on the same grid
+    # step — BENCH_NOTES negative results), so OFF by default.
+    use_qkv_folded: bool = False
 
     def setup(self) -> None:
         assert self.d_model % self.nhead == 0
@@ -308,8 +313,65 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        if (
+            q_in is kv_in
+            and deterministic
+            and self.use_pallas_decode
+            and self.use_qkv_folded
+            and not self.is_initializing()  # params exist only post-init
+        ):
+            out = self._self_attend_folded(q_in, bias)
+            if out is not None:
+                return out
         k, v = self.project_kv(kv_in)
         return self.attend(q_in, k, v, bias, deterministic)
+
+    def _self_attend_folded(
+        self, x: jax.Array, bias: Optional[jax.Array]
+    ) -> Optional[jax.Array]:
+        """Self-attention with q/k/v projections folded into the Pallas
+        kernel — x is read from HBM once; the three [B,S,E] projection
+        tensors never round-trip HBM.  Returns None when the case is not
+        eligible (non-key bias, CPU) so the caller falls through to XLA.
+
+        Exact bias recovery (fused_encoder_self_attention docstring): bk
+        cancels in softmax; bq becomes the per-key logit x (Wk (bq s)),
+        one cheap XLA matvec; bv is added to the kernel output (row of
+        attention weights sums to 1) where XLA fuses it into out_proj.
+        """
+        key_bias = None
+        if bias is not None:
+            if not (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1):
+                return None  # structured bias -> XLA path
+            key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+        from ralf_tpu.ops.pallas.decode_attention import pallas_decode_available
+        from ralf_tpu.ops.pallas.encoder_attention import (
+            fused_encoder_self_attention,
+        )
+
+        if not pallas_decode_available():
+            return None
+        B, S = x.shape[:2]
+        scale = self.head_dim**-0.5
+        pq = self.q_proj.variables["params"]
+        pk = self.k_proj.variables["params"]
+        pv = self.v_proj.variables["params"]
+        wqkv = jnp.concatenate(
+            [pq["kernel"] * scale, pk["kernel"], pv["kernel"]], axis=1
+        )
+        x = x.astype(self.dtype)
+        # bq's per-key logit is PER-HEAD: t_j^h = (x_j Wk)^h . (bq s)^h,
+        # i.e. t = x @ U with U[:, h] = Wk[:, h-slice] @ (bq s)[h-slice]
+        E, H, Dh = self.d_model, self.nhead, self.head_dim
+        u = jnp.einsum(
+            "ehd,hd->eh",
+            pk["kernel"].reshape(E, H, Dh).astype(jnp.float32),
+            (pq["bias"] * scale).reshape(H, Dh).astype(jnp.float32),
+        )
+        t = jnp.einsum("bse,eh->bhs", x.astype(jnp.float32), u)
+        key_bias = t if key_bias is None else key_bias[:, None, :] + t
+        out = fused_encoder_self_attention(x, wqkv, self.nhead, key_bias)
+        return self.out_proj(out + pv["bias"].astype(out.dtype))
 
 
 class FeedForward(nn.Module):
@@ -318,14 +380,48 @@ class FeedForward(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     dtype: Any = jnp.float32
+    # Fused VMEM FFN kernel: measured NEUTRAL-to-slower end-to-end on this
+    # toolchain (bb=4 cap; per-grid-step serialization eats the HBM traffic
+    # saving — BENCH_NOTES negative results), so OFF by default.
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self) -> None:
+        # names match the previous @nn.compact auto-naming — checkpoint- and
+        # torch-port-compatible
+        self.lin1 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="Dense_0")
+        self.lin2 = nn.Dense(self.d_model, dtype=self.dtype, name="Dense_1")
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
+        # Fused VMEM kernel on TPU for the encoder-shaped inference case:
+        # the hidden [B, S, F] tile never round-trips HBM.  relu-only (the
+        # kernel's bias identity needs it), no dropout (deterministic), and
+        # S large enough that the decode scan's S=1 calls stay on XLA.
+        if (
+            self.use_pallas
+            and deterministic
+            and self.activation == "relu"
+            and x.ndim == 3
+            and x.shape[1] >= 16
+            and not self.is_initializing()  # params exist only post-init
+        ):
+            from ralf_tpu.ops.pallas.decode_attention import pallas_decode_available
+            from ralf_tpu.ops.pallas.encoder_ffn import fused_ffn
+
+            if pallas_decode_available():
+                p1 = self.lin1.variables["params"]
+                p2 = self.lin2.variables["params"]
+                return fused_ffn(
+                    x.astype(self.dtype),
+                    p1["kernel"].astype(self.dtype),
+                    p1["bias"],
+                    p2["kernel"].astype(self.dtype),
+                    p2["bias"],
+                )
+        h = self.lin1(x)
         h = nn.relu(h) if self.activation == "relu" else nn.gelu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
-        return h
+        h = self.drop(h, deterministic=deterministic)
+        return self.lin2(h)
 
 
 class TransformerEncoderLayer(nn.Module):

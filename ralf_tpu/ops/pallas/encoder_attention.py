@@ -45,8 +45,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0):
-    # q/k/v [Bb, S, E] (scale pre-folded into q); keep_w [Bb, 1, S] exp(bias)
+def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0,
+                  per_head_keep: bool = False):
+    # q/k/v [Bb, S, E] (scale pre-folded into q); keep_w [Bb, Hp, S] exp(bias)
+    # — row 0 shared across heads, or (per_head_keep) row h for head h
     # multiplied in AFTER the exp (see module docstring).  Each head's output
     # is stored straight into its o_ref lane slice — holding all H lane-padded
     # [Bb, S, Dh] head buffers for a final concat OOMs scoped VMEM at small S.
@@ -60,13 +62,16 @@ def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0):
     for h in range(nhead):
         sl = slice(h * Dh, (h + 1) * Dh)
         kh, vh = k[..., sl], v[..., sl]
+        kw = None
+        if keep_w is not None:
+            kw = keep_w[:, h : h + 1, :] if per_head_keep else keep_w[:, 0:1, :]
         for c0, cn in chunks:
             qc = slice(c0, c0 + cn)
             scores = jax.lax.dot_general(  # [Bb, cn, S_k], contract Dh lanes
                 q[:, qc, sl], kh, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            if keep_w is not None:
+            if kw is not None:
                 # Masked softmax without NaN poisoning (ADVICE r1, medium):
                 #  * m must be the max over KEPT scores — a masked score far
                 #    above every kept one would otherwise underflow all kept
@@ -79,10 +84,10 @@ def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0):
                 # Only select/min/mul forms are used below; the [bb,1,S]
                 # vector ADD that Mosaic rejects (module docstring) never
                 # appears.
-                kept_any = jnp.max(keep_w, axis=-1, keepdims=True) > 0.0
+                kept_any = jnp.max(kw, axis=-1, keepdims=True) > 0.0
                 s_eff = jnp.where(kept_any, scores, 0.0)
                 m_kept = jnp.max(
-                    jnp.where(keep_w > 0.0, s_eff, -jnp.inf),
+                    jnp.where(kw > 0.0, s_eff, -jnp.inf),
                     axis=-1, keepdims=True,
                 )
                 m = jnp.where(kept_any, m_kept, 0.0)
@@ -90,7 +95,7 @@ def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0):
                 # masked entries (their weight is zeroed by w anyway).
                 # Dead rows: s_eff == m == 0 -> p uniform.
                 p = jnp.exp(jnp.minimum(s_eff - m, 0.0))
-                w = jnp.where(kept_any, keep_w, 1.0)
+                w = jnp.where(kept_any, kw, 1.0)
                 p = p * w
                 p = p / jnp.maximum(
                     jnp.sum(p, axis=-1, keepdims=True), 1e-30
@@ -109,6 +114,26 @@ def _attend_block(q, k, v, keep_w, o_ref, nhead: int, q_chunk: int = 0):
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, nhead: int, q_chunk: int = 0):
     _attend_block(
         q_ref[...], k_ref[...], v_ref[...], None, o_ref, nhead, q_chunk
+    )
+
+
+def _kernel_qkv(x_ref, w_ref, kw_ref, o_ref, *, nhead: int, q_chunk: int = 0):
+    # Self-attention with the q/k/v projections folded IN-KERNEL: x [bb,S,E]
+    # is read once and qkv = x @ wqkv [bb,S,3E] lives only in VMEM — XLA's
+    # separate projections write + read three [B,S,E] tensors through HBM
+    # (~1GB/layer at B=1024, S=330).  Biases never enter the kernel: bk
+    # cancels in the softmax, bq rides in kw_ref as exp(per-key logit), bv
+    # is a constant output offset added by the caller (see
+    # fused_encoder_self_attention).
+    x = x_ref[...]
+    qkv = jax.lax.dot_general(  # [bb, S, 3E], f32 MXU accumulation
+        x, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    E = x.shape[-1]
+    _attend_block(
+        qkv[..., :E], qkv[..., E : 2 * E], qkv[..., 2 * E :],
+        kw_ref[...], o_ref, nhead, q_chunk, per_head_keep=True,
     )
 
 
@@ -168,7 +193,12 @@ def _reference_attention(q, k, v, nhead, key_bias):
         "bshd,bmhd->bhsm", qh, kh, preferred_element_type=jnp.float32
     )
     if key_bias is not None:
-        logits = logits + key_bias[:, None, None, :].astype(logits.dtype)
+        kb = (
+            key_bias[:, :, None, :]  # per-head [B, H, S]
+            if key_bias.ndim == 3
+            else key_bias[:, None, None, :]  # shared [B, S]
+        )
+        logits = logits + kb.astype(logits.dtype)
     p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhsm,bmhd->bshd", p, vh).reshape(B, S, E)
 
@@ -213,6 +243,138 @@ def fused_encoder_attention(
 
     _attn.defvjp(_fwd, _bwd)
     return _attn(q, k, v, key_bias)
+
+
+def _batch_block_qkv(B: int, S: int, E: int, itemsize: int) -> int:
+    """Rows/grid-step for the QKV-folded kernel: x/o blocks (double-
+    buffered) + the bf16 qkv tile + one head's f32 score tile + p + the
+    per-head PV accumulator; wqkv is a constant block shared across steps."""
+    budget = 12 * 1024 * 1024
+    ss, sl = _round_up(S, 8), _round_up(S, 128)
+    ep = _round_up(E, 128)
+    per_row = (
+        2 * 2 * ss * ep * itemsize  # x + o, double-buffered
+        + ss * 3 * ep * itemsize  # qkv tile
+        + 2 * ss * sl * 4  # scores + p (f32)
+        + ss * 128 * 4  # per-head PV accumulator
+    )
+    weights = ep * 3 * ep * itemsize + 8 * sl * 4
+    bb = max(1, (budget - weights) // per_row)
+    while B % bb:
+        bb -= 1
+    return bb
+
+
+def _reference_self_attention(x, wqkv, nhead, key_bias):
+    E = x.shape[-1]
+    qkv = (x @ wqkv.astype(x.dtype)).astype(x.dtype)
+    return _reference_attention(
+        qkv[..., :E], qkv[..., E : 2 * E], qkv[..., 2 * E :], nhead, key_bias
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nhead", "interpret", "block_b", "q_chunk")
+)
+def fused_encoder_self_attention(
+    x: jax.Array,  # [B, S, E]
+    wqkv: jax.Array,  # [E, 3E] — concat(Wq * scale, Wk, Wv)
+    nhead: int,
+    key_bias: jax.Array | None = None,  # [B,S] or PER-HEAD [B,H,S], real-valued OK
+    interpret: bool = False,
+    block_b: int | None = None,
+    q_chunk: int | None = None,
+) -> jax.Array:
+    """Bias-free self-attention with in-kernel q/k/v projection.
+
+    Computes softmax((x Wq s)(x Wk)^T + key_bias) (x Wv) reading x from HBM
+    exactly once.  Projection BIASES are exactly recoverable outside the
+    kernel (see fold_qkv_biases / the caller in models/nn.py):
+
+      * bk: adds q_i . bk to every key's logit of query i — a per-query
+        constant, which softmax is invariant to.  Dropped exactly.
+      * bq: adds (bq s) . (x_j Wk) to key j for EVERY query — a per-key
+        additive logit t_j = x_j (Wk (bq s)); the caller computes t with
+        one cheap XLA matvec and passes it inside key_bias.  (The constant
+        (bq s) . bk term is again per-query, dropped.)
+      * bv: out = sum_j p_ij (x_j Wv + bv) = (sum_j p_ij x_j Wv) + bv since
+        the p row sums to 1 — the caller adds bv to the kernel output.
+
+    key_bias may therefore be any real-valued per-key logit; -1e9 entries
+    (padding) still underflow to weight 0 exactly, and fully-masked rows
+    fall back to uniform attention like the XLA oracle.  Differentiable via
+    custom_vjp -> XLA reference (recompute remat).
+    """
+
+    @jax.custom_vjp
+    def _attn(x, wqkv, key_bias):
+        return _fused_qkv_forward(
+            x, wqkv, nhead, key_bias, interpret, block_b, q_chunk
+        )
+
+    def _fwd(x, wqkv, key_bias):
+        return _attn(x, wqkv, key_bias), (x, wqkv, key_bias)
+
+    def _bwd(res, g):
+        x, wqkv, key_bias = res
+        _, vjp = jax.vjp(
+            lambda x_, w_: _reference_self_attention(x_, w_, nhead, key_bias),
+            x, wqkv,
+        )
+        dx, dw = vjp(g)
+        return dx, dw, None
+
+    _attn.defvjp(_fwd, _bwd)
+    return _attn(x, wqkv, key_bias)
+
+
+def _fused_qkv_forward(
+    x: jax.Array,
+    wqkv: jax.Array,
+    nhead: int,
+    key_bias: jax.Array | None,
+    interpret: bool,
+    block_b: int | None,
+    q_chunk: int | None,
+) -> jax.Array:
+    B, S, E = x.shape
+    qc = _q_chunk(S) if q_chunk is None else q_chunk
+    bb = block_b or _batch_block_qkv(B, S, E, x.dtype.itemsize)
+    x_spec = pl.BlockSpec((bb, S, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((E, 3 * E), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    flops = 2 * B * S * E * 3 * E + 2 * B * S * S * E * 2
+    bytes_acc = 2 * B * S * E * x.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=bytes_acc, transcendentals=B * nhead * S * S
+    )
+    if key_bias is None:
+        key_bias = jnp.zeros((B, S), jnp.float32)
+    # keep-weights [B, Hp, S]: row h = exp(head h's per-key logit).  A
+    # shared [B, S] bias is broadcast to all rows; the sublane dim is
+    # padded to >=8 (size-1 sublane VMEM operands are rejected) with
+    # zero-logit rows that no head reads.
+    hp = max(8, _round_up(nhead, 8))
+    kb = key_bias.astype(jnp.float32)
+    if kb.ndim == 2:
+        kb = jnp.broadcast_to(kb[:, None, :], (B, hp, S))
+    elif nhead < hp:
+        kb = jnp.concatenate(
+            [kb, jnp.zeros((B, hp - nhead, S), jnp.float32)], axis=1
+        )
+    keep_w = jnp.exp(kb)
+    return pl.pallas_call(
+        functools.partial(_kernel_qkv, nhead=nhead, q_chunk=qc),
+        out_shape=jax.ShapeDtypeStruct((B, S, E), x.dtype),
+        grid=(B // bb,),
+        in_specs=[
+            x_spec,
+            w_spec,
+            pl.BlockSpec((bb, hp, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=x_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, wqkv.astype(x.dtype), keep_w)
 
 
 def _fused_forward(

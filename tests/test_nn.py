@@ -197,3 +197,137 @@ def test_fused_encoder_attention_grad_interpret():
     gb = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_fused_ffn_parity_interpret():
+    # fused Linear->ReLU->Linear must match the plain XLA formulation,
+    # including the bias identity relu(h+b1) = max(h,-b1)+b1 and the
+    # host-folded (b1 W2 + b2) tail
+    from ralf_tpu.ops.pallas.encoder_ffn import fused_ffn
+
+    B, S, E, F = 4, 20, 32, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (B, S, E), jnp.float32)
+    w1 = jax.random.normal(ks[1], (E, F), jnp.float32) * 0.1
+    b1 = jax.random.normal(ks[2], (F,), jnp.float32)
+    w2 = jax.random.normal(ks[3], (F, E), jnp.float32) * 0.1
+    b2 = jax.random.normal(ks[4], (E,), jnp.float32)
+
+    ref = jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2
+    out = fused_ffn(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    # grads route through the XLA formulation via custom_vjp
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(fused_ffn(x, w1, b1, w2, b2, interpret=True) ** 2)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        return jnp.sum((jnp.maximum(x @ w1 + b1, 0.0) @ w2 + b2) ** 2)
+
+    ga = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gb = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_feedforward_module_unchanged_params():
+    # the setup() refactor must preserve the @nn.compact auto-names
+    # (Dense_0/Dense_1) so checkpoints and torch-port converters still load
+    from ralf_tpu.models.nn import FeedForward
+
+    ffn = FeedForward(d_model=16, dim_feedforward=32, dropout=0.0)
+    variables = ffn.init(jax.random.PRNGKey(0), jnp.ones((2, 4, 16)))
+    assert set(variables["params"].keys()) == {"Dense_0", "Dense_1"}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16), jnp.float32)
+    out = ffn.apply(variables, x, True)
+    p1, p2 = variables["params"]["Dense_0"], variables["params"]["Dense_1"]
+    ref = jnp.maximum(x @ p1["kernel"] + p1["bias"], 0.0) @ p2["kernel"] + p2["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_self_attention_qkv_folded_parity_interpret():
+    # the QKV-folded kernel + exact bias recovery (bk drops, bq -> per-key
+    # logit, bv -> output offset) must reproduce plain projected attention
+    from ralf_tpu.ops.pallas.encoder_attention import (
+        fused_encoder_self_attention,
+    )
+
+    B, S, H, Dh = 4, 12, 4, 8
+    E = H * Dh
+    ks = jax.random.split(jax.random.PRNGKey(2), 7)
+    x = jax.random.normal(ks[0], (B, S, E), jnp.float32)
+    wq = jax.random.normal(ks[1], (E, E), jnp.float32) * 0.2
+    wk = jax.random.normal(ks[2], (E, E), jnp.float32) * 0.2
+    wv = jax.random.normal(ks[3], (E, E), jnp.float32) * 0.2
+    bq = jax.random.normal(ks[4], (E,), jnp.float32)
+    bk = jax.random.normal(ks[5], (E,), jnp.float32)
+    bv = jax.random.normal(ks[6], (E,), jnp.float32)
+    scale = Dh**-0.5
+
+    def ref(key_bias):
+        q = ((x @ wq + bq) * scale).reshape(B, S, H, Dh)
+        k = (x @ wk + bk).reshape(B, S, H, Dh)
+        v = (x @ wv + bv).reshape(B, S, H, Dh)
+        logits = jnp.einsum("bshd,bmhd->bhsm", q, k)
+        if key_bias is not None:
+            logits = logits + key_bias[:, None, None, :]
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhsm,bmhd->bshd", p, v).reshape(B, S, E)
+
+    wqkv = jnp.concatenate([wq * scale, wk, wv], axis=1)
+    # bq's per-key logit is per-head: t[:, h, :] = x @ Wk[:, h] @ (bq s)[h]
+    u = jnp.einsum("ehd,hd->eh", wk.reshape(E, H, Dh),
+                   (bq * scale).reshape(H, Dh))
+    t = jnp.einsum("bse,eh->bhs", x, u)
+
+    for keep_bias in (None, jnp.where(
+        jnp.ones((B, S), bool).at[1, 7:].set(False), 0.0, -1e9
+    ).astype(jnp.float32)):
+        kb = t if keep_bias is None else t + keep_bias[:, None, :]
+        out = fused_encoder_self_attention(x, wqkv, H, kb, interpret=True) + bv
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref(keep_bias)),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_mha_folded_self_attention_matches_xla(monkeypatch):
+    # MultiHeadAttention.__call__ with q_in is kv_in must produce the same
+    # output whether the folded Pallas path (interpret via monkeypatched
+    # availability) or the plain XLA path runs
+    from ralf_tpu.models import nn as mnn
+    from ralf_tpu.ops.pallas import decode_attention, encoder_attention
+
+    mha = mnn.MultiHeadAttention(d_model=32, nhead=4, dropout=0.0,
+                                 use_qkv_folded=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 32), jnp.float32)
+    variables = mha.init(jax.random.PRNGKey(1), x, x)
+    # randomize the projection biases — flax inits them to zero, which
+    # would leave the kernel's bias-folding paths unexercised
+    params = jax.tree_util.tree_map_with_path(
+        lambda kp, v: (
+            jax.random.normal(jax.random.PRNGKey(hash(str(kp)) % 2**31),
+                              v.shape, v.dtype) * 0.3
+            if kp[-1].key == "bias" else v
+        ),
+        variables["params"],
+    )
+    variables = {"params": params}
+    ref = mha.apply(variables, x, x, None, True)
+
+    monkeypatch.setattr(decode_attention, "pallas_decode_available", lambda: True)
+    orig = encoder_attention._fused_qkv_forward
+    monkeypatch.setattr(
+        encoder_attention, "_fused_qkv_forward",
+        lambda x, w, h, kb, interp, bb, qc: orig(x, w, h, kb, True, bb, qc),
+    )
+    out = mha.apply(variables, x, x, None, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    # masked keys too
+    keep = jnp.ones((2, 10), bool).at[0, 6:].set(False)
+    bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
+    ref_b = mha.apply(variables, x, x, bias, True)
+    out_b = mha.apply(variables, x, x, bias, True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b), atol=2e-4)
