@@ -8,9 +8,13 @@ ISNet at 1024^2 -> `saliency/*.png`, BASNet at 256^2 -> `saliency_sub/*.png`
         --input-dir .../image/train/input --output-dir .../image/train/saliency \
         [--weights isnet.ckpt]
 
-Without ported weights the maps come from randomly initialized nets —
-fine for pipeline smoke tests, not for real dataset builds (weights are
-download-only; see utils/torch_port for the conversion hooks).
+--weights accepts either a flax/orbax checkpoint dir or the released
+torch .pth files (isnet-general-use.pth / gdi-basnet.pth) — those are
+converted on load via convert_{isnet,basnet}_state_dict (parity pinned by
+tests/test_saliency_parity.py).  Without weights the maps come from
+randomly initialized nets — fine for pipeline smoke tests, not for real
+dataset builds (the .pth files are download-only; zero-egress images
+can't fetch them).
 """
 
 from __future__ import annotations
@@ -36,20 +40,41 @@ def main() -> None:
     import numpy as np
     from PIL import Image
 
-    from ralf_tpu.preprocess.saliency_models import BASNet, ISNetDIS
+    from ralf_tpu.preprocess.saliency_models import (
+        BASNet,
+        ISNetDIS,
+        basnet_preprocess,
+        convert_basnet_state_dict,
+        convert_isnet_state_dict,
+        isnet_preprocess,
+    )
 
     size = 1024 if args.model == "isnet" else 256
     net = ISNetDIS() if args.model == "isnet" else BASNet()
-    variables = jax.jit(net.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
-    )
+    preprocess = isnet_preprocess if args.model == "isnet" else basnet_preprocess
     if args.weights and os.path.exists(args.weights):
-        import orbax.checkpoint as ocp
+        if args.weights.endswith((".pth", ".pt")):  # released torch weights
+            import torch
 
-        variables = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.weights), jax.device_get(variables)
-        )
+            sd = torch.load(args.weights, map_location="cpu")
+            if not isinstance(sd, dict) or "state_dict" in sd:
+                sd = sd.get("state_dict", sd)
+            convert = (convert_isnet_state_dict if args.model == "isnet"
+                       else convert_basnet_state_dict)
+            variables = convert(sd)
+        else:
+            import orbax.checkpoint as ocp
+
+            variables = jax.jit(net.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
+            )
+            variables = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.weights), jax.device_get(variables)
+            )
     else:
+        variables = jax.jit(net.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
+        )
         logging.warning("running with UNTRAINED %s weights", args.model)
 
     fwd = jax.jit(lambda v, x: net.apply(v, x))
@@ -62,7 +87,7 @@ def main() -> None:
             im = Image.open(path).convert("RGB")
             shapes.append(im.size)
             imgs.append(np.asarray(im.resize((size, size)), np.float32) / 255.0)
-        sal = np.asarray(fwd(variables, jnp.asarray(np.stack(imgs))))
+        sal = np.asarray(fwd(variables, jnp.asarray(preprocess(np.stack(imgs)))))
         sal = (sal - sal.min((1, 2), keepdims=True)) / np.maximum(
             sal.max((1, 2), keepdims=True) - sal.min((1, 2), keepdims=True), 1e-8
         )

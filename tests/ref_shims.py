@@ -117,6 +117,10 @@ def resnet18(**kwargs):
     return _ResNet(_BasicBlock, (2, 2, 2, 2))
 
 
+def resnet34(**kwargs):
+    return _ResNet(_BasicBlock, (3, 4, 6, 3))
+
+
 def resnet50(**kwargs):
     return _ResNet(_Bottleneck, (3, 4, 6, 3))
 
@@ -156,6 +160,7 @@ def install() -> None:
     tv._ralf_shim = True
     models = _module("torchvision.models")
     models.resnet18 = resnet18
+    models.resnet34 = resnet34
     models.resnet50 = resnet50
 
     class _W:  # weight-enum lookalikes; only attribute access happens
@@ -163,6 +168,7 @@ def install() -> None:
         IMAGENET1K_V2 = "IMAGENET1K_V2"
 
     models.ResNet18_Weights = _W
+    models.ResNet34_Weights = _W
     models.ResNet50_Weights = _W
     fe = _module("torchvision.models.feature_extraction")
     fe.create_feature_extractor = _FeatureTaps
