@@ -36,6 +36,13 @@ def main() -> None:
     p.add_argument("--cache-dir", default="cache",
                    help="offline-artifact dir (retrieval tables, gallery "
                         "features, kmeans vocabularies — cli.build_caches)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the rolling mid-epoch 'step' "
+                        "checkpoint in job-dir (see --save-every-steps)")
+    p.add_argument("--save-every-steps", type=int, default=0,
+                   help="rolling mid-epoch checkpoint cadence (train steps)")
+    p.add_argument("--save-every-secs", type=float, default=0.0,
+                   help="rolling mid-epoch checkpoint cadence (wall seconds)")
     p.add_argument("--allow-linear-fallback", action="store_true",
                    help="permit kmeans-preset tokenizers to downgrade to the "
                         "linear vocabulary when centers are missing")
@@ -62,6 +69,10 @@ def main() -> None:
         cfg.train.epochs = args.epochs
     if args.batch_size:
         cfg.train.batch_size = args.batch_size
+    if args.save_every_steps:
+        cfg.train.save_every_steps = args.save_every_steps
+    if args.save_every_secs:
+        cfg.train.save_every_secs = args.save_every_secs
     cfg.train.job_dir = args.job_dir or f"tmp/jobs/{args.experiment}_{args.dataset}_{args.task}"
     if args.debug:
         cfg.train.epochs = 1
@@ -123,7 +134,8 @@ def main() -> None:
             from ralf_tpu.train.trainer import Trainer
 
             trainer = Trainer(gen, cfg.train, mesh=mesh)
-            trainer.fit(train_loader, val_loader, num_steps_cap=cap)
+            trainer.fit(train_loader, val_loader, num_steps_cap=cap,
+                        resume=args.resume)
         else:
             from ralf_tpu.train.gan_trainer import GANTrainer
 
@@ -133,7 +145,8 @@ def main() -> None:
         from ralf_tpu.train.trainer import Trainer
 
         trainer = Trainer(gen, cfg.train, mesh=mesh)
-        trainer.fit(train_loader, val_loader, num_steps_cap=cap)
+        trainer.fit(train_loader, val_loader, num_steps_cap=cap,
+                    resume=args.resume)
     print(f"done: {cfg.train.job_dir}")
 
 

@@ -54,6 +54,12 @@ class TrainConfig:
     seed: int = 0
     job_dir: str = "tmp/jobs/default"
     save_every_epochs: int = 0  # 0 = only final/best
+    # mid-epoch cadence: a rolling "step" checkpoint every N train steps
+    # and/or every T wall-clock seconds (whichever fires), with a meta.json
+    # recording (epoch, step_in_epoch, global_step) so `fit(resume=True)`
+    # continues mid-epoch — the reference restarts from scratch (SURVEY §5)
+    save_every_steps: int = 0
+    save_every_secs: float = 0.0
     log_every_steps: int = 50
     # jax.profiler trace of train steps [profile_start, profile_stop) into
     # job_dir/profile — the first-class runtime visibility the reference
@@ -171,7 +177,17 @@ class Trainer:
         val_loader=None,
         state: Optional[TrainState] = None,
         num_steps_cap: Optional[int] = None,
+        resume: bool = False,
     ) -> TrainState:
+        """Run the epoch loop.  With resume=True and a rolling "step"
+        checkpoint present (cfg.save_every_steps / save_every_secs), training
+        continues from the recorded (epoch, step_in_epoch): earlier epochs
+        are skipped entirely and the current epoch's already-trained batches
+        are skipped by index.  The per-step dropout key stream is replayed
+        exactly; the numpy preprocess rng resumes from a fold of the recorded
+        step (the stream differs from an uninterrupted run, which only
+        re-randomizes augmentation — the reference cannot resume at all).
+        """
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         if state is None:
@@ -181,14 +197,37 @@ class Trainer:
             self._build_steps()
         rng = np.random.default_rng(cfg.seed)
 
+        start_epoch, skip_steps = 1, 0
+        if resume:
+            meta = self._load_step_meta()
+            if meta is not None:
+                state = self.restore("step", state)
+                start_epoch = meta["epoch"]
+                skip_steps = meta["step_in_epoch"]
+                # replay the per-step dropout key stream deterministically
+                key, _ = jax.random.split(jax.random.PRNGKey(cfg.seed))
+                for _ in range(meta["global_step"]):
+                    key, _ = jax.random.split(key)
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([cfg.seed, meta["global_step"]])
+                )
+                logger.info(
+                    "resuming at epoch %d step %d (global %d)",
+                    start_epoch, skip_steps, meta["global_step"],
+                )
+
         best_val = float("inf")
-        for epoch in range(1, cfg.epochs + 1):
+        global_step = int(jax.device_get(state.step))
+        last_save_t = time.time()
+        for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.time()
             losses = []
             prof = self.cfg.profile_steps
             for i, batch in enumerate(train_loader):
                 if num_steps_cap and i >= num_steps_cap:
                     break
+                if epoch == start_epoch and i < skip_steps:
+                    continue  # already trained before the resume point
                 if prof and epoch == 1 and i == prof[0]:
                     jax.profiler.start_trace(
                         os.path.join(cfg.job_dir, "profile")
@@ -198,6 +237,7 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 state, metrics = self._train_step(state, inputs, targets, sub)
                 losses.append(metrics["loss"])
+                global_step += 1
                 if prof and epoch == 1 and i == prof[1]:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
@@ -205,6 +245,15 @@ class Trainer:
                     logger.info(
                         "epoch %d step %d loss %.4f", epoch, i, float(metrics["loss"])
                     )
+                due_steps = cfg.save_every_steps and (
+                    global_step % cfg.save_every_steps == 0
+                )
+                due_secs = cfg.save_every_secs and (
+                    time.time() - last_save_t >= cfg.save_every_secs
+                )
+                if due_steps or due_secs:
+                    self._save_step_ckpt(state, epoch, i + 1, global_step)
+                    last_save_t = time.time()
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
             val_loss = None
@@ -290,6 +339,31 @@ class Trainer:
 
     def _ckpt_dir(self, tag: str) -> str:
         return os.path.abspath(os.path.join(self.cfg.job_dir, f"ckpt_{tag}"))
+
+    def _save_step_ckpt(
+        self, state: TrainState, epoch: int, step_in_epoch: int, global_step: int
+    ) -> None:
+        """Rolling mid-epoch checkpoint + resume bookkeeping (meta.json is
+        written AFTER the checkpoint so a crash between the two leaves the
+        previous consistent pair)."""
+        self.save(state, tag="step")
+        meta = {
+            "epoch": epoch,
+            "step_in_epoch": step_in_epoch,
+            "global_step": global_step,
+        }
+        path = os.path.join(self.cfg.job_dir, "ckpt_step_meta.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+
+    def _load_step_meta(self) -> Optional[dict]:
+        path = os.path.join(self.cfg.job_dir, "ckpt_step_meta.json")
+        if not (os.path.exists(path) and os.path.isdir(self._ckpt_dir("step"))):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def save(self, state: TrainState, tag: str = "final") -> None:
         import orbax.checkpoint as ocp

@@ -233,3 +233,41 @@ def test_hybrid_dcn_mesh_matches_flat_mesh():
     flat = make_mesh((4, 2))
     xf = jax.device_put(x, batch_sharding(flat))
     np.testing.assert_allclose(float(total(xf)), float(total(xs)), rtol=1e-6)
+
+
+def test_trainer_mid_epoch_step_resume(tmp_path):
+    # save_every_steps writes a rolling "step" checkpoint + meta;
+    # fit(resume=True) skips completed epochs AND the already-trained
+    # batches of the interrupted epoch (the reference restarts from
+    # scratch on failure — SURVEY §5)
+    tok = LayoutSequenceTokenizer(
+        TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16)
+    )
+    gen = AutoregGenerator(tok, TINY, "uncond", image_hw=HW)
+    ds = SyntheticPosterDataset(DatasetConfig(name="synthetic"), size=16, seed=0,
+                                image_hw=HW)
+
+    cfg1 = TrainConfig(epochs=1, batch_size=8, job_dir=str(tmp_path),
+                       save_every_steps=2)
+    tr1 = Trainer(gen, cfg1)
+    state1 = tr1.fit(BatchLoader(ds, 8, seed=0), num_steps_cap=2)
+    assert int(jax.device_get(state1.step)) == 2
+    meta = tr1._load_step_meta()
+    assert meta == {"epoch": 1, "step_in_epoch": 2, "global_step": 2}
+
+    # "crash" and resume with a 2-epoch budget: epoch 1 is already done
+    # (skip_steps == cap), so only epoch 2's two steps run
+    cfg2 = TrainConfig(epochs=2, batch_size=8, job_dir=str(tmp_path),
+                       save_every_steps=2)
+    tr2 = Trainer(gen, cfg2)
+    state2 = tr2.fit(BatchLoader(ds, 8, seed=0), num_steps_cap=2, resume=True)
+    assert int(jax.device_get(state2.step)) == 4
+    meta2 = tr2._load_step_meta()
+    assert meta2["global_step"] == 4 and meta2["epoch"] == 2
+
+    # time-based cadence: every save is due with save_every_secs=0-ish
+    cfg3 = TrainConfig(epochs=1, batch_size=8, job_dir=str(tmp_path / "t"),
+                       save_every_secs=1e-9)
+    tr3 = Trainer(gen, cfg3)
+    tr3.fit(BatchLoader(ds, 8, seed=0), num_steps_cap=1)
+    assert tr3._load_step_meta() is not None
