@@ -59,6 +59,12 @@ def main() -> None:
     p.add_argument("--unannotated", action="store_true",
                    help="no-GT split (inference_unanno equivalent)")
     p.add_argument("--out-dir", default=None)
+    p.add_argument("--topk", type=int, default=None,
+                   help="inference-time retrieval k override — the paper's "
+                        "dynamic top-k sweep (reference inference.py:331-339)")
+    p.add_argument("--no-backtrack", action="store_true",
+                   help="disable backtracking in relation-constrained decode "
+                        "(the reference's backtrack=False sweep arm)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 shared-memory decode (1.13x; layout metrics "
                         "at parity with bf16 on trained checkpoints)")
@@ -78,8 +84,15 @@ def main() -> None:
 
     cfg = FrameworkConfig.load(args.job_dir)
     num_seeds = args.num_seeds or cfg.num_seeds
+    # dynamic-topk / no-backtrack sweep arms get their own sample dirs,
+    # mirroring the reference's job-dir naming (`inference.py:331-366`)
+    suffix = ""
+    if args.topk is not None:
+        suffix += f"_dynamictopk_{args.topk}"
+    if args.no_backtrack:
+        suffix += "_nobacktrack"
     out_dir = args.out_dir or os.path.join(
-        args.job_dir, f"generated_samples_{args.cond}"
+        args.job_dir, f"generated_samples_{args.cond}{suffix}"
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -120,13 +133,18 @@ def main() -> None:
         retriever = Retriever.build(
             train_ds, cache_dir=cfg.cache_dir, dataset_name=cfg.dataset.name
         )
-        top_k = cfg.generator_kwargs.get("top_k", 16)
+        top_k = args.topk or cfg.generator_kwargs.get("top_k", 16)
         table = None
         if not args.unannotated:  # cached tables are keyed by the GT split
+            # cached tables hold the TRAIN-config k columns; a dynamic-topk
+            # override within that width slices, a wider one re-queries
             table = cache_mod.load_retrieval_table(
                 cfg.cache_dir, cfg.dataset.name, args.split,
-                retriever.backbone_name, top_k, expect_rows=len(ds),
+                retriever.backbone_name,
+                cfg.generator_kwargs.get("top_k", 16), expect_rows=len(ds),
             )
+            if table is not None and table.shape[1] < top_k:
+                table = None
         # RALF-family: precompute the frozen layout tower's gallery features
         # once per run (fixed gallery + frozen FIDNet => pure function of the
         # checkpoint); skips the per-batch B*K FIDNet forward in the model
@@ -189,6 +207,8 @@ def main() -> None:
                 # kv_quant only exists on the AR decode path; other token
                 # models (maskgit/diffusion) fail loudly if requested
                 extra = {"kv_quant": True} if args.kv_quant else {}
+                if args.no_backtrack and args.cond == "relation":
+                    extra["use_backtrack"] = False
                 out = gen.sample(variables, cond, sampling,
                                  jax.random.fold_in(key, len(results)),
                                  return_tokens=True, **extra)

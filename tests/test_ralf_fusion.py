@@ -88,3 +88,30 @@ def test_precomputed_feats_match_fidnet_path():
     # at B*K — XLA tiles the matmuls differently per shape (f32 noise only)
     np.testing.assert_allclose(np.asarray(mem_feats), np.asarray(mem_layout),
                                rtol=0, atol=1e-5)
+
+
+def test_dynamic_topk_at_inference():
+    """The paper's dynamic top-k sweep: a checkpoint trained with K=4
+    neighbors must sample with a different K at inference (sinusoidal 1D
+    PE over K; fusion width follows the retrieved arrays' shape).
+    Reference: `inference.py:331-339` dynamictopk arms."""
+    from ralf_tpu.core.sampling import SamplingConfig
+
+    tok = LayoutSequenceTokenizer(
+        TokenizerConfig(num_labels=3, max_seq_length=S, num_bin=16)
+    )
+    gen = RALFGenerator(tok, TINY, "uncond", image_hw=HW, top_k=K)
+    variables = gen.init(jax.random.PRNGKey(0))
+    ds = SyntheticPosterDataset(DatasetConfig(name="synthetic"), size=8, seed=0,
+                                image_hw=HW)
+    retriever = Retriever.build(ds)
+    for k_inf in (2, 6):  # below and above the train-time K
+        loader = RetrievalAugmentedLoader(
+            BatchLoader(ds, 2, shuffle=False, seed=0), retriever, top_k=k_inf
+        )
+        batch = next(iter(loader))
+        assert batch["retrieved"]["label"].shape[1] == k_inf
+        cond, _ = gen.build_condition(batch, np.random.default_rng(0))
+        layout = gen.sample(variables, cond, SamplingConfig(name="deterministic"),
+                            jax.random.PRNGKey(0))
+        assert np.asarray(layout.label).shape == (2, S)
