@@ -14,13 +14,17 @@ inside VMEM.  Transposing to a head-major layout in HBM instead costs 4
 minor-dim transposes per layer, which measured ~3x the kernel's own
 runtime, and [.., Dh=32] layouts pad HBM tiles 4x.
 
-Inference-only (no custom VJP): callers gate on `deterministic` so the
-training path keeps XLA's autodiff-able einsum formulation.
+Forward-only kernels, differentiable wrappers: both public entries
+install a custom VJP whose backward routes through the XLA einsum
+formulation (recompute-style remat), so frozen towers running
+deterministic=True inside a training loss still autodiff.  Callers gate
+on `deterministic` anyway so dropout-active training keeps pure XLA.
 
-Supported bias: an optional per-key additive vector [B, S] (the
-key-padding "keep" mask).  Causal or arbitrary [S, S] biases use the XLA
-path (the AR decode never calls this kernel — it has its own single-query
-kernels in decode_attention.py).
+Supported bias: a per-key additive vector [B, S] (the key-padding "keep"
+mask) — or, on the QKV-folded entry, real-valued per-head [B, H, S]
+logits.  Causal or arbitrary [S, S] biases use the XLA path (the AR
+decode never calls this kernel — it has its own single-query kernels in
+decode_attention.py).
 
 Mosaic constraint (this TPU toolchain): ADDING a [bb, 1, S] vector to the
 MXU dot output aborts the compiler ("limits <= dim" SIGABRT) at any
