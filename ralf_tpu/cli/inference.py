@@ -112,12 +112,16 @@ def main() -> None:
     tokenizer = build_tokenizer(cfg)
     gen = build_generator(cfg, tokenizer)
 
-    # restore the trained params
-    from ralf_tpu.train.trainer import TrainConfig, Trainer
+    # restore the trained params (the retriever baseline is non-learnable:
+    # no checkpoint exists, the gallery was rebuilt by build_generator)
+    if cfg.experiment == "retriever":
+        variables = {"params": {}}
+    else:
+        from ralf_tpu.train.trainer import TrainConfig, Trainer
 
-    trainer = Trainer(gen, cfg.train)
-    state = trainer.restore(args.ckpt)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+        trainer = Trainer(gen, cfg.train)
+        state = trainer.restore(args.ckpt)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     loader = BatchLoader(ds, args.batch_size, shuffle=False,
                          transforms=cfg.transforms, drop_last=False,

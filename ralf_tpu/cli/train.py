@@ -82,6 +82,14 @@ def main() -> None:
     tokenizer = build_tokenizer(cfg)
     gen = build_generator(cfg, tokenizer)
 
+    if cfg.experiment == "retriever":
+        # the top-1 copy baseline is non-learnable (`retriever.py:91-132`):
+        # there is nothing to train — the saved config is the whole job;
+        # inference rebuilds the gallery from the train split
+        print(f"done: {cfg.train.job_dir} (retriever is non-learnable; "
+              "config saved, no checkpoint needed)")
+        return
+
     train_loader = BatchLoader(train_ds, cfg.train.batch_size,
                                transforms=cfg.transforms, seed=cfg.train.seed)
     val_loader = BatchLoader(val_ds, cfg.train.batch_size, shuffle=False,

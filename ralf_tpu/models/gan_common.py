@@ -11,10 +11,12 @@ Parity targets (`image2layout/train/models/common_gan/`):
   * `design_seq.py:31-137` — IoU-grouping element reorder (underlay
     'deco' groups pulled next to their contents)
 
-TPU redesign: matching costs are computed on device ([B, S, S] batched);
-only the assignment itself goes to the host through one
-`jax.pure_callback` into scipy's Hungarian solver (n=10, microseconds) —
-the reference runs the whole criterion on host per batch element.  The
+TPU redesign: matching costs are computed on device ([B, S, S] batched)
+and the assignment itself is solved ON DEVICE by the jittable exact
+Jonker-Volgenant solver (`ops/assignment.batched_lsa`) — the axon TPU
+runtime does not support host callbacks at all, so the earlier
+pure_callback->scipy route crashed GAN training on real hardware; the
+reference runs the whole criterion on host per batch element.  The
 straight-through argmax is a `jax.custom_vjp` with identity backward.
 """
 
@@ -195,16 +197,6 @@ def reorder(cls_mapped: np.ndarray, box_cxcywh: np.ndarray,
 # --------------------------------------------------------------------------
 
 
-def _host_assign(cost: np.ndarray) -> np.ndarray:
-    """[B, N, N] cost -> [B, N] matched target index per query (scipy)."""
-    from scipy.optimize import linear_sum_assignment
-
-    cost = np.nan_to_num(np.asarray(cost, np.float64), nan=1e5, posinf=1e5, neginf=-1e5)
-    out = np.zeros(cost.shape[:2], np.int32)
-    for b in range(cost.shape[0]):
-        rows, cols = linear_sum_assignment(cost[b])
-        out[b, rows] = cols.astype(np.int32)
-    return out
 
 
 def _box_cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
@@ -251,13 +243,13 @@ def hungarian_match(pred_logits: jax.Array, pred_boxes: jax.Array,
         _box_cxcywh_to_xyxy(pred_boxes), _box_cxcywh_to_xyxy(tgt_boxes)
     )
     cost = cost_bbox * c_l1 + cost_class * c_cls + cost_giou * -giou
+    cost = jnp.nan_to_num(cost, nan=1e5, posinf=1e5, neginf=-1e5)
     cost = jax.lax.stop_gradient(cost)
-    return jax.pure_callback(
-        _host_assign,
-        jax.ShapeDtypeStruct((B, S), jnp.int32),
-        cost,
-        vmap_method="sequential",
-    )
+    # exact on-device Jonker-Volgenant (no host callbacks: unsupported by
+    # the axon TPU runtime) — scipy-parity fuzz-tested in test_gan.py
+    from ralf_tpu.ops.assignment import batched_lsa
+
+    return batched_lsa(cost)
 
 
 def set_criterion(pred_logits: jax.Array, pred_boxes: jax.Array,

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -109,9 +110,14 @@ def gallery_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put every array leaf with batch-axis sharding."""
+    """Device_put every array leaf with batch-axis sharding; rank-0
+    leaves (e.g. ICVT's KL warmup beta) are replicated — a batch-axis
+    PartitionSpec is invalid for scalars."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, rep if jnp.ndim(x) == 0 else sh), batch
+    )
 
 
 def replicate(mesh: Mesh, tree):

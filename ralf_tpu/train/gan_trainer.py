@@ -9,6 +9,7 @@ get the per-epoch `update_per_epoch` ramp called before each epoch.
 
 from __future__ import annotations
 
+import json
 import logging
 import time
 from typing import Optional
@@ -128,11 +129,21 @@ class GANTrainer(Trainer):
                 dis_state, dm = self._dis_step(dis_state, state, inputs, targets, k2)
                 g_losses.append(gm["loss"])
                 d_losses.append(dm["loss_d"])
+            g_loss = float(jnp.mean(jnp.stack(g_losses)))
+            d_loss = float(jnp.mean(jnp.stack(d_losses)))
             logger.info(
                 "epoch %d: g_loss %.4f d_loss %.4f (%.1fs)",
-                epoch,
-                float(jnp.mean(jnp.stack(g_losses))),
-                float(jnp.mean(jnp.stack(d_losses))),
-                time.time() - t0,
+                epoch, g_loss, d_loss, time.time() - t0,
             )
+            with open(self._metrics_path, "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch, "g_loss": g_loss, "d_loss": d_loss,
+                    "sec": round(time.time() - t0, 2),
+                }) + "\n")
+            if cfg.save_every_epochs and epoch % cfg.save_every_epochs == 0:
+                self.save(state, tag=f"epoch{epoch}")
+        # generator under the standard tag (inference restores "final");
+        # discriminator alongside for adversarial fine-tuning resume
+        self.save(state, tag="final")
+        self.save(dis_state, tag="final_dis")
         return state, dis_state

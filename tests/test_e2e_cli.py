@@ -117,3 +117,58 @@ def test_train_inference_evaluate_pipeline(tmp_path, experiment):
     assert glob_mod.glob(os.path.join(eval_cache, "eval_gt_features_*.npz"))
     r = _run(cmd, env)
     assert "GT feature cache hit" in r.stderr
+
+
+def test_retriever_baseline_pipeline(tmp_path):
+    """The non-learnable top-1 copy baseline (`retriever.py:91-132`) has no
+    checkpoint: train is a config-only no-op and inference rebuilds the
+    gallery from the train split."""
+    env = cli_subprocess_env()
+    job_dir = str(tmp_path / "job_retriever")
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.train",
+         "--experiment", "retriever", "--job-dir", job_dir,
+         "--debug", "--synthetic",
+         "--cache-dir", str(tmp_path / "cache")],
+        env,
+    )
+    assert os.path.exists(os.path.join(job_dir, "config.json"))
+    assert not os.path.isdir(os.path.join(job_dir, "ckpt_final"))
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.inference",
+         "--job-dir", job_dir, "--cond", "uncond", "--split", "test",
+         "--num-seeds", "1", "--batch-size", "16"],
+        env,
+    )
+    with open(os.path.join(job_dir, "generated_samples_uncond",
+                           "test_0.pkl"), "rb") as f:
+        data = pickle.load(f)
+    assert data["results"], "retriever produced no layouts"
+
+
+def test_gan_pipeline(tmp_path):
+    """GAN jobs must leave a restorable generator checkpoint (fit_gan saves
+    under the standard 'final' tag) that cli.inference consumes."""
+    env = cli_subprocess_env()
+    job_dir = str(tmp_path / "job_cglgan")
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.train",
+         "--experiment", "cglgan", "--job-dir", job_dir,
+         "--debug", "--synthetic", "--batch-size", "8",
+         "--cache-dir", str(tmp_path / "cache"), *TINY_MODEL],
+        env,
+    )
+    assert os.path.isdir(os.path.join(job_dir, "ckpt_final"))
+    assert os.path.isdir(os.path.join(job_dir, "ckpt_final_dis"))
+    metrics = [json.loads(l) for l in open(os.path.join(job_dir, "metrics.jsonl"))]
+    assert metrics and "g_loss" in metrics[0] and "d_loss" in metrics[0]
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.inference",
+         "--job-dir", job_dir, "--cond", "uncond", "--split", "test",
+         "--num-seeds", "1", "--batch-size", "16"],
+        env,
+    )
+    with open(os.path.join(job_dir, "generated_samples_uncond",
+                           "test_0.pkl"), "rb") as f:
+        data = pickle.load(f)
+    assert data["results"], "GAN inference produced no layouts"

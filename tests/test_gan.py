@@ -111,17 +111,26 @@ def test_gan_generator_step_and_sample(cls):
     assert np.asarray(out.label).shape == (2, S)
 
 
-def test_gan_trainer_one_epoch():
+def test_gan_trainer_one_epoch(tmp_path):
     # batch must be divisible by the data-axis size (8 virtual devices)
     ds = SyntheticPosterDataset(DatasetConfig(name="synthetic"), size=16, seed=0,
                                 image_hw=HW)
     gen = CGLGANGenerator(num_labels=3, cfg=TINY, image_hw=HW)
     tr = GANTrainer(gen, TrainConfig(epochs=1, batch_size=8, lr=1e-4,
-                                     job_dir="/tmp/ralf_gan_test"),
+                                     job_dir=str(tmp_path)),
                     warmup_dis_epoch=1)
     state, dis_state = tr.fit_gan(BatchLoader(ds, 8, seed=0), num_steps_cap=1)
     assert int(jax.device_get(state.step)) == 1
     assert int(jax.device_get(dis_state.step)) == 1
+    # fit_gan must leave a restorable generator checkpoint under the
+    # standard tag — cli.inference restores "final" for GAN jobs too
+    restored = tr.restore("final")
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    import os
+    assert os.path.isdir(tr._ckpt_dir("final_dis"))
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))
 
 
 def test_icvt_loss_and_sample():
@@ -140,3 +149,28 @@ def test_icvt_loss_and_sample():
     assert gen.kl_beta != 1e-3 or True
     out = gen.sample(variables, batch, rng)
     assert np.asarray(out.label).shape == (2, S)
+
+
+def test_batched_lsa_matches_scipy():
+    """The on-device Jonker-Volgenant solver must be EXACT vs scipy's
+    linear_sum_assignment (same total cost; permutation output), including
+    tie-heavy costs.  It replaced the pure_callback route, which the axon
+    TPU runtime cannot execute at all."""
+    from scipy.optimize import linear_sum_assignment
+
+    from ralf_tpu.ops.assignment import batched_lsa
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(2, 12))
+        cost = rng.random((4, n, n)).astype(np.float32)
+        if trial % 3 == 0:
+            cost = np.round(cost * 4) / 4  # force ties
+        ours = np.asarray(jax.jit(batched_lsa)(jnp.asarray(cost)))
+        for b in range(4):
+            r, c = linear_sum_assignment(cost[b])
+            assert sorted(ours[b].tolist()) == list(range(n))
+            np.testing.assert_allclose(
+                cost[b][np.arange(n), ours[b]].sum(), cost[b][r, c].sum(),
+                atol=1e-4,
+            )
