@@ -67,6 +67,7 @@ TASK_OF = {
     "uncond": "uncondition",
     "c": "label",
     "cwh": "label_size",
+    "gt": "uncondition",  # full copy-through: no constraint head of its own
     "partial": "completion",
     "refinement": "refinement",
     "relation": "relationship",
@@ -370,7 +371,7 @@ def build_forced_tokens(
     C = tokenizer.N_var_per_element
     task = normalize_task(cond.task)
 
-    if cond.seq is None or task in ("uncond", "gt"):
+    if cond.seq is None or task == "uncond":
         B = np.asarray(cond.image).shape[0]
         return np.full((B, L), MASK_ID, np.int32)
 
@@ -383,6 +384,8 @@ def build_forced_tokens(
     elif task == "partial":
         forced = np.full_like(body, MASK_ID)
         forced[:, :C] = body[:, :C]
-    elif task not in ("c", "cwh"):
+    elif task not in ("c", "cwh", "gt"):
+        # gt forces the ENTIRE body: the reference's gt arm is "just copy"
+        # (task.py:135 pass-through / diffusion strong-constraint replace)
         forced = np.full_like(body, MASK_ID)
     return forced.astype(np.int32)

@@ -623,6 +623,10 @@ class LayoutDMGenerator:
         return get_condition(
             batch["layout"], batch["image"], task, self.tokenizer, rng,
             ids=batch.get("id"),
+            # RA variant: neighbors from the RetrievalAugmentedLoader ride
+            # on the condition (the training path reads them in preprocess;
+            # sample() asserts their presence when with_retrieval)
+            retrieved=batch.get("retrieved"),
         )
 
     def sample_time(self, B: int, rng: np.random.Generator):

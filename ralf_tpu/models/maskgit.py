@@ -123,7 +123,7 @@ class MaskGITGenerator:
         task = self.task if task is None else normalize_task(task)
         return get_condition(
             batch["layout"], batch["image"], task, self.tokenizer, rng,
-            ids=batch.get("id"),
+            ids=batch.get("id"), retrieved=batch.get("retrieved"),
         )
 
     def preprocess(self, batch: dict, rng: np.random.Generator):

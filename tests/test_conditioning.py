@@ -134,3 +134,30 @@ def test_relation_clauses_present(tok):
     seq, _ = build_constraint_sequence(cond, vocab, rng)
     rel_sep = vocab.id("relation_sep")
     assert (np.sum(seq == rel_sep, axis=1) == 1).all()
+
+
+def test_gt_task_is_copy_through_for_ar():
+    """'gt' (reference task.py:24 'just copy') has no PREPROCESSOR entry in
+    the reference registry; the AR mapping here is: uncondition constraint
+    head + every body token forced, so greedy decode reproduces the GT."""
+    import numpy as np
+
+    from ralf_tpu.core.conditioning import (
+        build_forced_tokens,
+        get_condition,
+    )
+    from ralf_tpu.core.layout import random_layout
+    from ralf_tpu.core.tokenizer import LayoutSequenceTokenizer, TokenizerConfig
+
+    tok = LayoutSequenceTokenizer(
+        TokenizerConfig(num_labels=3, max_seq_length=10, num_bin=16)
+    )
+    rng = np.random.default_rng(0)
+    lay = random_layout(rng, 2, 10, 3)
+    img = np.zeros((2, 8, 8, 4), np.float32)
+    cond, _ = get_condition(lay, img, "gt", tok, rng)
+    forced = build_forced_tokens(cond, tok)
+    enc = tok.encode(lay)
+    body = np.asarray(enc["seq"])[:, 1:]
+    want = np.where(body == tok.pad_id, tok.eos_id, body)
+    np.testing.assert_array_equal(forced, want)

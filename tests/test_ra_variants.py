@@ -44,8 +44,11 @@ def test_ra_layoutdm_train_and_sample():
                          jax.tree.map(jnp.asarray, targets), train=True,
                          rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(float(loss))
+    # build_condition must attach the loader's neighbors itself — the CLI
+    # inference path has no side channel (caught live: RA-LayoutDM sample
+    # asserted on cond.retrieved=None on the real TPU)
     cond, _ = gen.build_condition(batch, rng, task="uncond")
-    cond.retrieved = batch["retrieved"]
+    assert cond.retrieved is not None
     lay = gen.sample(variables, cond, SamplingConfig(name="random"),
                      jax.random.PRNGKey(2), num_timesteps_eval=3)
     assert np.asarray(lay.label).shape == (2, S)
