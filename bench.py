@@ -67,8 +67,13 @@ def main() -> None:
     # int8 shared-memory decode: quality-gated on trained synthetic
     # checkpoints (alignment delta 1e-4, overlap delta 2e-3, identical
     # element-count distribution vs bf16 — BENCH_NOTES.md)
+    import os
+
+    self_quant = os.environ.get("RALF_BENCH_SELF_QUANT", "0") == "1"
     dec = jax.jit(
-        lambda v, m, f, k: gen.decode(v, m, f, sampling, k, kv_quant=True)
+        lambda v, m, f, k: gen.decode(
+            v, m, f, sampling, k, kv_quant=True, self_quant=self_quant
+        )
     )
 
     ENC_CHUNK = 1024  # encode memory ceiling; decode amortizes across chunks

@@ -72,6 +72,9 @@ def main() -> None:
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 shared-memory decode (1.13x; layout metrics "
                         "at parity with bf16 on trained checkpoints)")
+    p.add_argument("--self-quant", action="store_true",
+                   help="int8 per-token self-attention caches in the decode "
+                        "scan (AR models only; scales fold exactly)")
     args = p.parse_args()
 
     import jax
@@ -215,6 +218,8 @@ def main() -> None:
                 # kv_quant only exists on the AR decode path; other token
                 # models (maskgit/diffusion) fail loudly if requested
                 extra = {"kv_quant": True} if args.kv_quant else {}
+                if args.self_quant:
+                    extra["self_quant"] = True
                 if args.cond == "relation":
                     if args.no_backtrack:
                         extra["use_backtrack"] = False

@@ -297,7 +297,8 @@ class AutoregGenerator:
         )
 
     def decode(self, variables, memory, forced, sampling: SamplingConfig,
-               key: jax.Array, kv_quant: bool = False) -> jax.Array:
+               key: jax.Array, kv_quant: bool = False,
+               self_quant: bool = False) -> jax.Array:
         """Jittable: run the KV-cached constrained decode scan."""
         tok = self.tokenizer
         dec_vars = {"params": variables["params"]["decoder"]}
@@ -305,13 +306,13 @@ class AutoregGenerator:
             self.decoder_module, dec_vars, memory, None,
             jnp.asarray(self.token_mask), jnp.asarray(forced),
             tok.max_token_length, tok.bos_id, tok.pad_id, sampling, key,
-            kv_quant=kv_quant,
+            kv_quant=kv_quant, self_quant=self_quant,
         )
 
     def sample(self, variables, cond: Condition, sampling: SamplingConfig,
                key: jax.Array, return_tokens: bool = False,
                use_backtrack: bool = True, max_retries: int = 4,
-               kv_quant: bool = False):
+               kv_quant: bool = False, self_quant: bool = False):
         memory = self.encode_memory(variables, cond)
         forced = build_forced_tokens(cond, self.tokenizer)
         if normalize_task(cond.task) == "relation" and use_backtrack:
@@ -328,9 +329,10 @@ class AutoregGenerator:
                 self.decoder_module, dec_vars, memory, self.tokenizer,
                 jnp.asarray(forced), tensors, sampling, key,
                 max_retries=max_retries, kv_quant=kv_quant,
+                self_quant=self_quant,
             )
         else:
             seq = self.decode(variables, memory, forced, sampling, key,
-                              kv_quant=kv_quant)
+                              kv_quant=kv_quant, self_quant=self_quant)
         layout = self.tokenizer.decode(seq)
         return (layout, seq) if return_tokens else layout

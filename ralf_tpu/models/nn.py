@@ -224,6 +224,44 @@ class MultiHeadAttention(nn.Module):
         )
         return self.out_proj(out.reshape(B, 1, self.d_model))
 
+    def attend_t_q8tok(
+        self,
+        q_in: jax.Array,  # [B, 1, D]
+        k_i8: jax.Array,  # [B, H, Dh, T] int8 cache
+        v_i8: jax.Array,
+        ks: jax.Array,  # [B, H, T] f32 per-token dequant scale
+        vs: jax.Array,
+        bias: Optional[jax.Array] = None,  # broadcastable to [B, H, T]
+    ) -> jax.Array:
+        """Single-query self-attention over PER-TOKEN int8 caches.
+
+        True cache is k[:, h, :, t] = ks[:, h, t] * k_i8[:, h, :, t]; both
+        scales fold EXACTLY outside the int8 dots (scores are linear per
+        key token, values linear per value token):
+            logits = (q . k_i8) * ks ;  out = (p * vs) @ v_i8.
+        XLA fuses the int8->compute convert into the dot operand read, so
+        the caches stream from HBM at half the bf16 bytes — this is the
+        decode scan's self-attention stream ([B, H, 32, T] x 2 x N layers
+        per step)."""
+        B = q_in.shape[0]
+        q = self._split(self.q_proj(q_in))[:, 0]  # [B, H, Dh]
+        scale = jnp.asarray(self.head_dim, jnp.float32) ** -0.5
+        logits = jnp.einsum(
+            "bhd,bhdm->bhm",
+            (q.astype(jnp.float32) * scale).astype(self.dtype),
+            k_i8.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ) * ks
+        if bias is not None:
+            logits = logits + bias.astype(logits.dtype)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = (probs * vs).astype(self.dtype)
+        out = jnp.einsum(
+            "bhm,bhdm->bhd", probs, v_i8.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return self.out_proj(out.reshape(B, 1, self.d_model))
+
     def attend_t_any(self, q_in: jax.Array, cross,
                      bias: Optional[jax.Array] = None) -> jax.Array:
         """attend_t over a shared-memory array (weight-folded path), an
@@ -605,6 +643,45 @@ class TransformerDecoderLayer(nn.Module):
         x_t = x_t + self.ffn(self.norm3(x_t))
         return x_t, cache_k, cache_v
 
+    def step_q8(
+        self,
+        x_t: jax.Array,  # [B, 1, D]
+        t: jax.Array,
+        cache_k: jax.Array,  # [B, H, Dh, T] int8
+        cache_v: jax.Array,
+        cache_ks: jax.Array,  # [B, H, T] f32 per-token scales
+        cache_vs: jax.Array,
+        self_bias_t: jax.Array,
+        cross: tuple,
+        mem_bias: Optional[jax.Array],
+    ):
+        """`step` with int8 per-token self-attention caches (opt-in
+        `self_quant`): the new token's K/V are absmax-quantized over Dh at
+        write time; scales fold exactly in attend_t_q8tok."""
+        h = self.norm1(x_t)
+        k_t, v_t = self.self_attn.project_kv(h)  # [B,1,H,Dh]
+        k_t = jnp.transpose(k_t, (0, 2, 3, 1))  # [B,H,Dh,1]
+        v_t = jnp.transpose(v_t, (0, 2, 3, 1))
+
+        def q8(x):  # [B,H,Dh,1] -> int8 same shape + [B,H,1] scale
+            a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
+            s = jnp.maximum(a, 1e-8) / 127.0
+            xi = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+            return xi.astype(jnp.int8), s[:, :, 0, :]
+
+        ki, ks = q8(k_t)
+        vi, vs = q8(v_t)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, ki, t, axis=3)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, vi, t, axis=3)
+        cache_ks = jax.lax.dynamic_update_slice_in_dim(cache_ks, ks, t, axis=2)
+        cache_vs = jax.lax.dynamic_update_slice_in_dim(cache_vs, vs, t, axis=2)
+        x_t = x_t + self.self_attn.attend_t_q8tok(
+            h, cache_k, cache_v, cache_ks, cache_vs, self_bias_t
+        )
+        x_t = x_t + self.cross_attn.attend_t_any(self.norm2(x_t), cross, mem_bias)
+        x_t = x_t + self.ffn(self.norm3(x_t))
+        return x_t, cache_k, cache_v, cache_ks, cache_vs
+
 
 class TransformerDecoder(nn.Module):
     """Decoder stack exposing both a full (training) and a cached (decode)
@@ -655,14 +732,27 @@ class TransformerDecoder(nn.Module):
 
     # ---- cached decode path ---------------------------------------------
 
-    def init_cache(self, batch: int, max_len: int) -> dict:
-        """Zeroed per-layer KV cache pytree ([B, H, Dh, T] decode layout)."""
+    def init_cache(self, batch: int, max_len: int,
+                   self_quant: bool = False) -> dict:
+        """Zeroed per-layer KV cache pytree ([B, H, Dh, T] decode layout).
+        With self_quant, caches are int8 + per-token f32 scales (halves the
+        per-step self-attention HBM stream)."""
         hd = self.d_model // self.nhead
         shape = (batch, self.nhead, hd, max_len)
-        return {
-            "k": [jnp.zeros(shape, self.dtype) for _ in range(self.num_layers)],
-            "v": [jnp.zeros(shape, self.dtype) for _ in range(self.num_layers)],
+        dt = jnp.int8 if self_quant else self.dtype
+        cache = {
+            "k": [jnp.zeros(shape, dt) for _ in range(self.num_layers)],
+            "v": [jnp.zeros(shape, dt) for _ in range(self.num_layers)],
         }
+        if self_quant:
+            sshape = (batch, self.nhead, max_len)
+            cache["ks"] = [
+                jnp.zeros(sshape, jnp.float32) for _ in range(self.num_layers)
+            ]
+            cache["vs"] = [
+                jnp.zeros(sshape, jnp.float32) for _ in range(self.num_layers)
+            ]
+        return cache
 
     def cross_kv(self, memory: jax.Array, kv_quant: bool = False,
                  shared: bool = True):
@@ -700,6 +790,22 @@ class TransformerDecoder(nn.Module):
             and len(cross_kvs) == 2
             and cross_kvs[0].ndim == 3  # (mem_i8 [B,M,E], scale [B,M])
         )
+        if "ks" in cache:  # int8 per-token self caches (self_quant)
+            new = {"k": [], "v": [], "ks": [], "vs": []}
+            for i, layer in enumerate(self.layers):
+                x_t, ck, cv, cks, cvs = layer.step_q8(
+                    x_t, t,
+                    cache["k"][i], cache["v"][i],
+                    cache["ks"][i], cache["vs"][i],
+                    self_bias,
+                    cross_kvs if shared else cross_kvs[i],
+                    mem_bias,
+                )
+                new["k"].append(ck)
+                new["v"].append(cv)
+                new["ks"].append(cks)
+                new["vs"].append(cvs)
+            return x_t, new
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             x_t, ck, cv = layer.step(
@@ -778,8 +884,9 @@ class TokenDecoder(nn.Module):
     def head(self, x: jax.Array) -> jax.Array:
         return self.head_out(self.head_norm(x))
 
-    def init_cache(self, batch: int, max_len: int) -> dict:
-        return self.stack.init_cache(batch, max_len)
+    def init_cache(self, batch: int, max_len: int,
+                   self_quant: bool = False) -> dict:
+        return self.stack.init_cache(batch, max_len, self_quant)
 
     def cross_kv(self, memory: jax.Array, kv_quant: bool = False,
                  shared: bool = True):

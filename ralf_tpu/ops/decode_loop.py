@@ -40,12 +40,15 @@ def ar_decode(
     sampling: SamplingConfig,
     key: jax.Array,
     kv_quant: bool = False,  # int8 cross-KV (halves per-step HBM traffic)
+    self_quant: bool = False,  # int8 per-token self caches (halves that stream)
 ) -> jax.Array:
     """Returns sampled token sequences [B, L] (BOS stripped)."""
     B = memory.shape[0]
     V = token_mask.shape[1]
 
-    cache = decoder.apply(params, B, max_len, method=TokenDecoder.init_cache)
+    cache = decoder.apply(
+        params, B, max_len, self_quant, method=TokenDecoder.init_cache
+    )
     cross = decoder.apply(params, memory, kv_quant, method=TokenDecoder.cross_kv)
     bos = jnp.full((B,), bos_id, jnp.int32)
     keep0 = jnp.zeros((B, max_len), bool)

@@ -163,6 +163,7 @@ def relation_aware_decode(
     max_retries: int = 4,
     retry_temperature: float = 1.5,  # `autoreg.py:351`
     kv_quant: bool = False,  # int8 shared cross-memory, as in ar_decode
+    self_quant: bool = False,  # int8 per-token self caches, as in ar_decode
 ) -> jax.Array:
     """Returns token sequences [B, 5S]."""
     B = memory.shape[0]
@@ -179,7 +180,9 @@ def relation_aware_decode(
     nbin = tokenizer.N_bbox_per_var
     var_order = list(tokenizer.var_order)
 
-    cache0 = decoder.apply(dec_vars, B, L, method=TokenDecoder.init_cache)
+    cache0 = decoder.apply(
+        dec_vars, B, L, self_quant, method=TokenDecoder.init_cache
+    )
     cross = decoder.apply(dec_vars, memory, kv_quant,
                           method=TokenDecoder.cross_kv)
     positions = jnp.arange(L)

@@ -90,3 +90,23 @@ def test_relation_decode_reduces_violations(setup):
     label_slots = (np.arange(tok.max_token_length) % 5 == 0)[None, :]
     k = known & label_slots
     assert (np.asarray(seq_bt)[k] == cond.seq[:, 1:][k]).all()
+
+
+def test_relation_decode_self_quant_structure(setup):
+    # int8 per-token self caches must flow through the backtracker's cache
+    # snapshot/select machinery (jax.tree.map over int8 + f32-scale leaves)
+    tok, gen, variables = setup
+    rng = np.random.default_rng(0)
+    batch = {"layout": random_layout(rng, 2, S, 3),
+             "image": np.zeros((2, *HW, 4), np.float32)}
+    cond, _ = gen.build_condition(batch, rng, task="relation")
+    scfg = SamplingConfig(name="random")
+    lay, seq = gen.sample(variables, cond, scfg, jax.random.PRNGKey(1),
+                          return_tokens=True, use_backtrack=True,
+                          max_retries=2, self_quant=True)
+    assert np.asarray(seq).shape == (2, tok.max_token_length)
+    # forced label slots still reproduced exactly under quantized caches
+    known = cond.seq_mask[:, 1:] & (cond.seq[:, 1:] != tok.pad_id) & (cond.seq[:, 1:] != -1)
+    label_slots = (np.arange(tok.max_token_length) % 5 == 0)[None, :]
+    k = known & label_slots
+    assert (np.asarray(seq)[k] == cond.seq[:, 1:][k]).all()
