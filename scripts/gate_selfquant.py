@@ -44,7 +44,7 @@ def main():
     tokenizer = build_tokenizer(cfg)
     gen = build_generator(cfg, tokenizer)
     trainer = Trainer(gen, cfg.train)
-    state = trainer.restore(None)
+    state = trainer.restore("best")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     loader = BatchLoader(val_ds, args.n, shuffle=False,
