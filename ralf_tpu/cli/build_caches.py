@@ -26,6 +26,43 @@ import pickle
 import numpy as np
 
 
+def build_relationships_table(datasets) -> dict:
+    """{sample_id: clause list} over the given splits.
+
+    Clause element letters index into the layout ORDER, so the table is
+    only valid under the same deterministic element order the consumer
+    sees.  Canonicalize with the AR pipeline's sorts — exactly what the
+    reference bakes into its table name (`task_preprocessor.py:499`:
+    `..._using_canvas_sort_label_lexico.pt`).  Consumers
+    (`core/conditioning._lookup_relationships` via the CLIs) only load the
+    table when the job's transforms are those deterministic sorts.
+    """
+    from ralf_tpu.core.layout import Layout
+    from ralf_tpu.core.relationships import describe_relationships
+    from ralf_tpu.data.transforms import compose
+
+    sort = compose(["sort_label", "sort_lexicographic"])
+    rng = np.random.default_rng(0)  # sorts are deterministic; rng unused
+    table: dict = {}
+    for ds in datasets:
+        idx = np.arange(len(ds))
+        lay = ds.get_layouts(idx)
+        out = {k: v.copy() for k, v in lay.items()}
+        for b in range(idx.shape[0]):
+            n = int(lay["mask"][b].sum())
+            if n <= 1:
+                continue
+            sample = {k: lay[k][b, :n] for k in
+                      ("label", "center_x", "center_y", "width", "height")}
+            sample = sort(sample, rng)
+            for k, v in sample.items():
+                out[k][b, :n] = v
+        rels = describe_relationships(Layout.fromdict(out))
+        for i, r in zip(ds.get_ids(idx), rels):
+            table[str(i)] = r
+    return table
+
+
 def main() -> None:
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser()
@@ -37,7 +74,11 @@ def main() -> None:
     p.add_argument("--cache-dir", default="cache")
     p.add_argument("--top-k", type=int, default=32)
     p.add_argument("--backbone", default="saliency")
-    p.add_argument("--rerank", choices=["none", "mmr", "random"], default="none")
+    p.add_argument("--rerank", choices=["none", "mmr", "random", "lpips"],
+                   default="none")
+    p.add_argument("--lpips-size", type=int, default=224,
+                   help="LPIPS input resolution (224 = VGG-parity; smaller "
+                        "trades fidelity for builder speed)")
     p.add_argument("--cross-dataset-dir", default=None,
                    help="gallery from another dataset (cross-dataset study)")
     args = p.parse_args()
@@ -82,6 +123,7 @@ def main() -> None:
                 ds, args.top_k,
                 is_train_split=(split == "train" and not args.cross_dataset_dir),
             )
+            backbone_key = args.backbone
             if args.rerank == "mmr":
                 feats = np.asarray(retriever.features)
                 # rerank per batch to bound memory
@@ -91,8 +133,23 @@ def main() -> None:
                     qf = np.asarray(retriever.embed(ds.get_images(idx)))
                     out[idx] = mmr_rerank(feats, table[idx], qf, args.top_k // 2)
                 table = out
+            elif args.rerank == "lpips":
+                # perceptual rerank of the cheap backbone's candidate pool
+                # (reference `build_retrieval_indexes_LPIPS.py`, redesigned
+                # O(N*M) — see retrieval/lpips.py); saved under its own
+                # backbone key like the reference's `_lpips_` cache names
+                from ralf_tpu.retrieval.lpips import lpips_rerank
+
+                table = lpips_rerank(
+                    lambda rows: ds.get_images(rows),
+                    table,
+                    lambda rows: gallery_ds.get_images(rows),
+                    cache_dir=args.cache_dir,
+                    size=args.lpips_size,
+                )
+                backbone_key = "lpips"
             path = cache_mod.save_retrieval_table(
-                args.cache_dir, table_key, split, args.backbone, table
+                args.cache_dir, table_key, split, backbone_key, table
             )
             logging.info("%s: table %s -> %s", split, table.shape, path)
 
@@ -115,17 +172,7 @@ def main() -> None:
         logging.info("wrote %s (%d entries)", path, len(weights))
 
     else:  # relationships
-        from ralf_tpu.core.layout import Layout
-        from ralf_tpu.core.relationships import describe_relationships
-
-        table = {}
-        for ds, split in ((train_ds, "train"), (val_ds, "val"), (test_ds, "test")):
-            idx = np.arange(len(ds))
-            lay = Layout.fromdict(ds.get_layouts(idx))
-            rels = describe_relationships(lay)
-            ids = ds.get_ids(idx)
-            for i, r in zip(ids, rels):
-                table[str(i)] = r
+        table = build_relationships_table([train_ds, val_ds, test_ds])
         from ralf_tpu import cache as cache_mod
 
         path = cache_mod.relationships_path(args.cache_dir, args.dataset)

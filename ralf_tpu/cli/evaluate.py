@@ -73,6 +73,11 @@ def main() -> None:
     p.add_argument("--unannotated", action="store_true",
                    help="no-GT split: heuristic metrics only, no FID/prdc "
                         "(eval_unanno.py equivalent)")
+    p.add_argument("--eval-batch-size", type=int, default=512,
+                   help="image streaming chunk: canvases are fetched and "
+                        "featurized EB at a time (like eval.py:395-406), so "
+                        "peak host RAM is O(EB x H x W) instead of the whole "
+                        "split (~8 GB/split at CGL scale)")
     args = p.parse_args()
 
     import jax
@@ -138,7 +143,14 @@ def main() -> None:
         ds = {"val": val_ds, "test": test_ds}[split]
         idx = np.arange(len(ds))
         gt_layout = records_to_layout(_gt_records(ds, idx), S)
-        images = ds.get_images(idx)
+        EB = max(1, args.eval_batch_size)
+
+        def image_chunks(n: int):
+            """Stream (row_idx, images[f32]) EB rows at a time — canvases
+            are the only split-sized tensors; layouts stay tiny."""
+            for s in range(0, n, EB):
+                ci = np.arange(s, min(s + EB, n))
+                yield ci, np.asarray(ds.get_images(ci), np.float32)
 
         gt_feats = None
         if not args.unannotated:
@@ -164,38 +176,55 @@ def main() -> None:
             layout = records_to_layout(data["results"], S)
             layout, validity = compute_validity(layout)
             B = layout.label.shape[0]
-            img = images[:B]
 
             scores = {"validity": float(validity)}
+            # layout-only metrics run on the whole split at once — the
+            # tensors are [B, S] and tiny; only CANVASES are streamed
             scores["alignment-LayoutGAN++"] = nanmean(compute_alignment(layout))
             scores["overlap-LayoutGAN++"] = nanmean(compute_overlap(layout))
             scores["overlay"] = nanmean(compute_overlay(layout, underlay_id))
             ue = compute_underlay_effectiveness(layout, underlay_id)
             scores["underlay_effectiveness_loose"] = nanmean(ue["underlay_effectiveness_loose"])
             scores["underlay_effectiveness_strict"] = nanmean(ue["underlay_effectiveness_strict"])
-            sal = compute_saliency_aware_metrics(
-                layout, np.asarray(img, np.float32), text_id, underlay_id
-            )
-            for k, v in sal.items():
-                scores[k] = nanmean(v)
+
+            # saliency-aware metrics per image chunk (per-sample values
+            # concatenate exactly; nanmean is order-invariant)
+            sal_parts: dict[str, list] = {}
+            rshm_parts, real_feats, fake_feats = [], [], []
+            for ci, img_c in image_chunks(B):
+                lay_c = jax.tree.map(lambda a: a[ci], layout)
+                sal = compute_saliency_aware_metrics(
+                    lay_c, img_c, text_id, underlay_id
+                )
+                for k, v in sal.items():
+                    sal_parts.setdefault(k, []).append(np.asarray(v))
+                if image_feature_fns is not None:
+                    from ralf_tpu.eval.image_metrics import (
+                        compute_rshm,
+                        masked_features,
+                    )
+
+                    if not args.unannotated:
+                        gt_c = jax.tree.map(lambda a: a[ci], gt_layout)
+                        real_feats.append(masked_features(
+                            gt_c, img_c, image_feature_fns["inception"]))
+                        fake_feats.append(masked_features(
+                            lay_c, img_c, image_feature_fns["inception"]))
+                    rshm_parts.append(compute_rshm(
+                        lay_c, img_c, image_feature_fns["vgg"]))
+            for k, parts in sal_parts.items():
+                scores[k] = nanmean(np.concatenate(parts))
+
             if gt_feats is not None:  # FID/prdc need GT layouts
                 feats = np.asarray(feat_fn(layout))
                 scores.update(compute_generative_model_scores(gt_feats, feats))
             if image_feature_fns is not None:
-                from ralf_tpu.eval.image_metrics import (
-                    compute_image_fid,
-                    compute_rshm,
-                )
-
-                imgs_f = np.asarray(img, np.float32)
-                if not args.unannotated:
-                    gt_sub = jax.tree.map(lambda a: a[:B], gt_layout)
-                    scores.update(compute_image_fid(
-                        gt_sub, layout, imgs_f, image_feature_fns["inception"]
-                    ))
-                scores["R_shm"] = float(np.mean(
-                    compute_rshm(layout, imgs_f, image_feature_fns["vgg"])
-                ))
+                if real_feats:
+                    fid = compute_generative_model_scores(
+                        np.concatenate(real_feats), np.concatenate(fake_feats)
+                    )
+                    scores.update({f"image_{k}": v for k, v in fid.items()})
+                scores["R_shm"] = float(np.mean(np.concatenate(rshm_parts)))
             all_scores.append(scores)
             logging.info("%s: %s", os.path.basename(pkl_path),
                          {k: round(v, 4) for k, v in scores.items()})

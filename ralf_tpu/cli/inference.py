@@ -75,6 +75,11 @@ def main() -> None:
     p.add_argument("--self-quant", action="store_true",
                    help="int8 per-token self-attention caches in the decode "
                         "scan (AR models only; scales fold exactly)")
+    p.add_argument("--mesh", default="auto", choices=["auto", "on", "off"],
+                   help="shard the sample program's batch over all devices "
+                        "(parallel/decode.MeshSampler). auto = on when >1 "
+                        "device and the model is AR-family; relation decode "
+                        "stays single-chip (host-orchestrated retries)")
     args = p.parse_args()
 
     import jax
@@ -118,6 +123,17 @@ def main() -> None:
                             args.split)
     tokenizer = build_tokenizer(cfg)
     gen = build_generator(cfg, tokenizer)
+
+    # precomputed relation-clause table (valid only under deterministic
+    # element order — clause letters index into the sorted layout)
+    if (args.cond == "relation" and hasattr(gen, "relationships_table")
+            and set(cfg.transforms) <= {"image", "sort_label",
+                                        "sort_lexicographic"}):
+        from ralf_tpu import cache as cache_mod
+
+        gen.relationships_table = cache_mod.load_relationships(
+            cfg.cache_dir, cfg.dataset.name
+        )
 
     # restore the trained params (the retriever baseline is non-learnable:
     # no checkpoint exists, the gallery was rebuilt by build_generator)
@@ -201,6 +217,26 @@ def main() -> None:
     sampling = cfg.sampling
     is_token_model = tokenizer is not None
 
+    # multi-chip decode: one jitted sample program, batch sharded over the
+    # mesh, params replicated (the v5e-8 north-star path — BASELINE.md).
+    # The relation task's host-orchestrated retry loop stays single-chip.
+    mesh_sampler = None
+    from ralf_tpu.models.autoreg import AutoregGenerator
+
+    is_ar = isinstance(gen, AutoregGenerator)
+    want_mesh = args.mesh == "on" or (
+        args.mesh == "auto" and len(jax.devices()) > 1
+    )
+    if want_mesh and is_ar and args.cond != "relation":
+        from ralf_tpu.parallel.decode import MeshSampler, make_decode_mesh
+
+        mesh_sampler = MeshSampler(
+            gen, make_decode_mesh(), sampling,
+            kv_quant=args.kv_quant, self_quant=args.self_quant,
+        )
+        logging.info("mesh decode over %d device(s), %d batch shard(s)",
+                     len(jax.devices()), mesh_sampler.num_shards)
+
     for seed in range(num_seeds):
         pkl_path = os.path.join(out_dir, f"{args.split}_{seed}.pkl")
         if os.path.exists(pkl_path):
@@ -225,10 +261,17 @@ def main() -> None:
                         extra["use_backtrack"] = False
                     elif args.max_retries != 4:
                         extra["max_retries"] = args.max_retries
-                out = gen.sample(variables, cond, sampling,
-                                 jax.random.fold_in(key, len(results)),
-                                 return_tokens=True, **extra)
-                layout, seq = out if isinstance(out, tuple) else (out, None)
+                if mesh_sampler is not None:
+                    layout, seq = mesh_sampler.sample(
+                        variables, cond,
+                        jax.random.fold_in(key, len(results)),
+                        return_tokens=True,
+                    )
+                else:
+                    out = gen.sample(variables, cond, sampling,
+                                     jax.random.fold_in(key, len(results)),
+                                     return_tokens=True, **extra)
+                    layout, seq = out if isinstance(out, tuple) else (out, None)
                 jax.block_until_ready(layout.label)
                 if seq is not None and cond is not None:
                     v = calculate_violation(cond, np.asarray(seq), layout, tokenizer)

@@ -82,6 +82,22 @@ def main() -> None:
     tokenizer = build_tokenizer(cfg)
     gen = build_generator(cfg, tokenizer)
 
+    # relation task: precomputed clause table (build_caches --what
+    # relationships) as the fast path for per-batch conditioning — the
+    # reference's RelationshipPreprocessor consumes its dict the same way.
+    # Clause letters index into element ORDER, so the table (built under
+    # the canonical sorts) only applies to deterministic-sort pipelines.
+    deterministic_order = set(cfg.transforms) <= {
+        "image", "sort_label", "sort_lexicographic"
+    }
+    if (args.task in ("relation", "multitask") and deterministic_order
+            and hasattr(gen, "relationships_table")):
+        from ralf_tpu import cache as cache_mod
+
+        gen.relationships_table = cache_mod.load_relationships(
+            cfg.cache_dir, cfg.dataset.name
+        )
+
     if cfg.experiment == "retriever":
         # the top-1 copy baseline is non-learnable (`retriever.py:91-132`):
         # there is nothing to train — the saved config is the whole job;

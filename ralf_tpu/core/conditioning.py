@@ -155,6 +155,20 @@ class ConstraintVocabulary:
 # --------------------------------------------------------------------------
 
 
+def _lookup_relationships(
+    relationships: Optional[dict], ids: Optional[np.ndarray], layout: Layout
+) -> list:
+    """Per-sample clause lists: from the precomputed table when available
+    (keyed by sample id as str), else computed on the fly.  A partial table
+    falls back per-row, so a stale cache can't silently drop conditions."""
+    if relationships is None or ids is None:
+        return describe_relationships(layout)
+    rows = [str(i) for i in np.asarray(ids).tolist()]
+    if all(r in relationships for r in rows):
+        return [relationships[r] for r in rows]
+    return describe_relationships(layout)
+
+
 def get_condition(
     layout: Layout,
     image: Any,
@@ -163,12 +177,21 @@ def get_condition(
     rng: np.random.Generator,
     ids: Optional[np.ndarray] = None,
     retrieved: Optional[dict] = None,
+    relationships: Optional[dict] = None,
 ) -> tuple[Condition, Layout]:
     """Build the per-task condition; returns (condition, target_layout).
 
     target_layout is the layout the training loss should encode — for
     refinement it is the NOISED layout, mirroring the reference's in-place
     mutation of the batch (`helpers/task.py:145-165`).
+
+    relationships: optional precomputed {sample_id: clause list} table
+    (written by `cli/build_caches.py --what relationships`, loaded via
+    `cache.load_relationships`) — the precomputed fast path the reference's
+    `RelationshipPreprocessor` consumes (`preprocess/precompute_relationship
+    .py`).  Equivalent to the on-the-fly `describe_relationships` (asserted
+    in tests/test_cache.py); on CGL-scale splits it saves the O(S^2)
+    pairwise geometry pass per batch.
     """
     assert task in COND_TYPES or task is None
     task_n = normalize_task(task)
@@ -201,7 +224,7 @@ def get_condition(
     elif task_n in ("c", "cwh", "relation"):
         if task_n == "relation":
             cond.edges = compute_relation(layout, rng)
-            cond.relations = describe_relationships(layout)
+            cond.relations = _lookup_relationships(relationships, ids, layout)
         pos = np.arange(T)
         attr_ind = (pos - off) % C
         keep = np.zeros((B, T), bool)

@@ -47,6 +47,14 @@ def tower_feature_fn(kind: str, cache_dir: str = "cache",
     return fn
 
 
+def masked_features(
+    layout: Layout, images: np.ndarray, feature_fn: Callable
+) -> np.ndarray:
+    """Features of layout-masked canvases — the chunkable unit of
+    image-FID (cli/evaluate streams canvases through this EB at a time)."""
+    return np.asarray(feature_fn(mask_out_bbox_area(layout, images)))
+
+
 def compute_image_fid(
     gt_layout: Layout,
     pred_layout: Layout,
@@ -55,8 +63,8 @@ def compute_image_fid(
 ) -> dict[str, float]:
     """FID between InceptionV3-style features of GT-masked vs pred-masked
     canvases (`eval.py:126-181`)."""
-    feats_real = feature_fn(mask_out_bbox_area(gt_layout, images))
-    feats_fake = feature_fn(mask_out_bbox_area(pred_layout, images))
+    feats_real = masked_features(gt_layout, images, feature_fn)
+    feats_fake = masked_features(pred_layout, images, feature_fn)
     out = compute_generative_model_scores(feats_real, feats_fake)
     return {f"image_{k}": v for k, v in out.items()}
 

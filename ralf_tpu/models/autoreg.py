@@ -193,6 +193,8 @@ class AutoregGenerator:
         self.task = normalize_task(auxiliary_task)
         self.vocab = ConstraintVocabulary(tokenizer)
         self.image_hw = image_hw
+        # optional precomputed {id: clause list} table (cache.load_relationships)
+        self.relationships_table: Optional[dict] = None
         self.core = self._build_core()
         self.token_mask = tokenizer.token_mask  # np [L, V]
         # standalone view of the decoder submodule: same hyperparams, applied
@@ -243,6 +245,7 @@ class AutoregGenerator:
         cond, target = get_condition(
             batch["layout"], batch["image"], task, self.tokenizer, rng,
             ids=batch.get("id"), retrieved=batch.get("retrieved"),
+            relationships=self.relationships_table,
         )
         cond.const_seq, cond.const_mask = build_constraint_sequence(
             cond, self.vocab, rng

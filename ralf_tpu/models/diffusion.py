@@ -252,7 +252,12 @@ class MaskAndReplaceDiffusion:
         )
         log_qt1 = jnp.where(is_mask, ct_row, log_qt1)
 
-        q = log_x_start[..., :-1] - log_qt
+        # kill out-of-subvocabulary columns of q: the reference's converter
+        # literally DROPS them per attribute (`constrained.py:150-151`
+        # f_to_p_log gathers only the partial-vocab columns), so they must
+        # not contribute junk mass to the normalization or the bt-mixing
+        # term (no-op for q_type='default' where log_ind is all-zero)
+        q = log_x_start[..., :-1] - log_qt + tb.log_ind[None, :, :-1]
         q = jnp.concatenate([q, jnp.full_like(q[..., :1], LOG_EPS)], axis=-1)
         q_norm = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
         q = q - q_norm
@@ -627,6 +632,7 @@ class LayoutDMGenerator:
             # on the condition (the training path reads them in preprocess;
             # sample() asserts their presence when with_retrieval)
             retrieved=batch.get("retrieved"),
+            relationships=getattr(self, "relationships_table", None),
         )
 
     def sample_time(self, B: int, rng: np.random.Generator):

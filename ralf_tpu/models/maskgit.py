@@ -124,6 +124,7 @@ class MaskGITGenerator:
         return get_condition(
             batch["layout"], batch["image"], task, self.tokenizer, rng,
             ids=batch.get("id"), retrieved=batch.get("retrieved"),
+            relationships=getattr(self, "relationships_table", None),
         )
 
     def preprocess(self, batch: dict, rng: np.random.Generator):

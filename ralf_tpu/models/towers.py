@@ -87,11 +87,20 @@ class VGG16Features(nn.Module):
 
     dtype: Any = jnp.float32
 
+    # last conv of each block: relu1_2/2_2/3_3/4_3/5_3 — the standard
+    # LPIPS-VGG tap set (lpips lib `pretrained_networks.vgg16`)
+    LPIPS_TAPS = (1, 4, 8, 12, 16)
+
     @nn.compact
-    def __call__(self, img: jax.Array) -> jax.Array:
+    def __call__(self, img: jax.Array, return_taps: bool = False):
         """img: [B, H, W, 3], already resized+normalized (224 for parity
-        with the torch transform — any H,W >= 7 works; pooling is global)."""
+        with the torch transform — any H,W >= 7 works; pooling is global).
+
+        return_taps: return the 5 LPIPS tap activations instead of the
+        pooled feature (pre_logits params exist but go unused — same
+        checkpoint serves both paths)."""
         h = img.astype(self.dtype)
+        taps = []
         for i, spec in enumerate(_VGG16_PLAN):
             if spec == "M":
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
@@ -100,6 +109,10 @@ class VGG16Features(nn.Module):
                     nn.Conv(spec, (3, 3), padding=1, dtype=self.dtype,
                             name=f"features_{i}")(h)
                 )
+                if i in self.LPIPS_TAPS:
+                    taps.append(h)
+        if return_taps:
+            return taps
         # ConvMlp pre_logits: 7x7 VALID conv -> relu -> 1x1 conv -> relu
         h = nn.relu(
             nn.Conv(4096, (7, 7), padding="VALID", dtype=self.dtype,

@@ -118,7 +118,11 @@ def relation_cost(
     total = acc(total, _le(ri, lj) + overlap_band, ei & has(RelLoc.RIGHT))
     total = acc(total, _lt(li, rj) + _lt(lj, ri) + overlap_band,
                 ei & has(RelLoc.CENTER))
-    return jnp.mean(total)
+    # the reference averages the 14 per-term losses
+    # (`logit_adjustment.py:169-171`: torch.stack(loss).mean() over the
+    # `relation` list) — match that normalization exactly so
+    # relation_lambda means the same SGD step size on both sides
+    return jnp.mean(total) / 14.0
 
 
 def update_logits_for_relation(

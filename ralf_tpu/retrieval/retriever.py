@@ -152,14 +152,12 @@ def sharded_topk(
         gv, gi = jax.lax.top_k(val, k)
         return jnp.take_along_axis(idx, gi, axis=1)
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(query, gallery, query_ids)
 

