@@ -256,8 +256,12 @@ class MaskAndReplaceDiffusion:
         # literally DROPS them per attribute (`constrained.py:150-151`
         # f_to_p_log gathers only the partial-vocab columns), so they must
         # not contribute junk mass to the normalization or the bt-mixing
-        # term (no-op for q_type='default' where log_ind is all-zero)
-        q = log_x_start[..., :-1] - log_qt + tb.log_ind[None, :, :-1]
+        # term.  A hard `where` (not adding log_ind) is required: x_start
+        # and log_qt BOTH sit near LOG_EPS on dead columns, so their
+        # difference is O(1) and an additive shift would leave real mass.
+        # (No-op for q_type='default', whose indicator is all-true.)
+        in_vocab = tb.log_ind[None, :, :-1] > 0.5 * LOG_EPS
+        q = jnp.where(in_vocab, log_x_start[..., :-1] - log_qt, LOG_EPS)
         q = jnp.concatenate([q, jnp.full_like(q[..., :1], LOG_EPS)], axis=-1)
         q_norm = jax.scipy.special.logsumexp(q, axis=-1, keepdims=True)
         q = q - q_norm
