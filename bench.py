@@ -18,15 +18,27 @@ size and reporting the best.
 Benchmark hygiene: the axon runtime memoizes executions whose input
 buffers are identical, so every timed iteration perturbs the image batch
 to force real execution.
+
+`build_flagship` / `timed_throughput` are importable so one-off sweeps
+(scripts/bench_b4096.py) measure the SAME adopted config instead of a
+copy-pasted snapshot of it (ADVICE r2).
 """
 
 import json
+import os
 import time
+from types import SimpleNamespace
 
 import numpy as np
 
 
-def main() -> None:
+def build_flagship(self_quant: bool | None = None) -> SimpleNamespace:
+    """Construct the flagship RALF sample path + one B=1024 conditioned batch.
+
+    Returns a namespace with `sample_fn(image, key)` closing over the adopted
+    config (bf16 compute, int8 shared-memory decode, ENC_CHUNK=1024 chunked
+    encode, top-p 0.9) and the tiled-batch source arrays.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -67,9 +79,8 @@ def main() -> None:
     # int8 shared-memory decode: quality-gated on trained synthetic
     # checkpoints (alignment delta 1e-4, overlap delta 2e-3, identical
     # element-count distribution vs bf16 — BENCH_NOTES.md)
-    import os
-
-    self_quant = os.environ.get("RALF_BENCH_SELF_QUANT", "0") == "1"
+    if self_quant is None:
+        self_quant = os.environ.get("RALF_BENCH_SELF_QUANT", "0") == "1"
     dec = jax.jit(
         lambda v, m, f, k: gen.decode(
             v, m, f, sampling, k, kv_quant=True, self_quant=self_quant
@@ -77,6 +88,27 @@ def main() -> None:
     )
 
     ENC_CHUNK = 1024  # encode memory ceiling; decode amortizes across chunks
+
+    # one B=1024 retrieval-augmented batch, tiled on the batch axis: the
+    # timed loop perturbs every canvas independently, so all tiled rows are
+    # distinct work; tiling only avoids ~3min of host-side synthetic-data
+    # setup that is not part of the measured path
+    ds = SyntheticPosterDataset(
+        DatasetConfig(name="synthetic"), size=1024, seed=0, image_hw=HW
+    )
+    loader = RetrievalAugmentedLoader(
+        BatchLoader(ds, 1024, shuffle=False, seed=0), retriever, top_k=16,
+        feats_table=gallery_feats,
+    )
+    batch1k = next(iter(loader))
+    cond, _ = gen.build_condition(batch1k, np.random.default_rng(0), task="uncond")
+    image1k = np.asarray(cond.image)
+    retrieved1k = {
+        k: np.asarray(v) for k, v in gen._retrieved_arrays(cond.retrieved).items()
+    }
+    const1k = np.asarray(cond.const_seq)
+    keep1k = np.asarray(cond.const_mask)
+    forced1k = np.asarray(build_forced_tokens(cond, tok))
 
     def sample_fn(image, retrieved, const_seq, const_keep, forced, key):
         B = image.shape[0]
@@ -92,62 +124,67 @@ def main() -> None:
         )
         return dec(variables, memory, forced, key)
 
-    # one B=1024 retrieval-augmented batch, tiled on the batch axis: the
-    # timed loop perturbs every canvas independently, so all 2048 rows are
-    # distinct work; tiling only avoids ~3min of host-side synthetic-data
-    # setup that is not part of the measured path
-    ds = SyntheticPosterDataset(
-        DatasetConfig(name="synthetic"), size=1024, seed=0, image_hw=HW
+    return SimpleNamespace(
+        gen=gen, tok=tok, variables=variables, sampling=sampling, key=key,
+        retriever=retriever, cond=cond, self_quant=self_quant,
+        sample_fn=sample_fn, image1k=image1k, retrieved1k=retrieved1k,
+        const1k=const1k, keep1k=keep1k, forced1k=forced1k,
     )
-    loader = RetrievalAugmentedLoader(
-        BatchLoader(ds, 1024, shuffle=False, seed=0), retriever, top_k=16,
-        feats_table=gallery_feats,
-    )
-    batch1k = next(iter(loader))
-    cond, _ = gen.build_condition(batch1k, np.random.default_rng(0), task="uncond")
-    image1k = np.asarray(cond.image)
-    retrieved1k = {k: np.asarray(v) for k, v in gen._retrieved_arrays(cond.retrieved).items()}
-    const1k = np.asarray(cond.const_seq)
-    keep1k = np.asarray(cond.const_mask)
-    forced1k = np.asarray(build_forced_tokens(cond, tok))
 
-    best = 0.0
-    best_B = 0
-    for B in (1024, 2048):
-        reps = B // 1024
-        tile = lambda a: np.concatenate([a] * reps, 0) if reps > 1 else a
-        # feed pixels in compute dtype: an f32 image costs the first conv a
-        # 1.4GB read at B=1024 (pixel data in [0,1] loses nothing in bf16)
-        image = jnp.asarray(tile(image1k)).astype(jnp.bfloat16)
-        retrieved = {k: jnp.asarray(tile(v)) for k, v in retrieved1k.items()}
-        const_seq = jnp.asarray(tile(const1k))
-        const_keep = jnp.asarray(tile(keep1k))
-        forced = jnp.asarray(tile(forced1k))
 
-        out = sample_fn(image, retrieved, const_seq, const_keep, forced, key)
+def timed_throughput(setup: SimpleNamespace, B: int, iters: int = 5) -> tuple:
+    """Time `iters` full sample passes at batch B; returns (layouts/s, times).
+
+    Hygiene: each iteration gets a genuinely distinct perturbed canvas batch
+    (the runtime memoizes identical executions) generated JUST before its
+    timed region — only one perturbed batch is ever resident, so an OOM here
+    is the measured path's, not the scaffolding's (ADVICE r2).  Raises
+    AssertionError if any two outputs match (memoization polluted timing).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    reps = B // setup.image1k.shape[0]
+    tile = lambda a: np.concatenate([a] * reps, 0) if reps > 1 else a
+    # feed pixels in compute dtype: an f32 image costs the first conv a
+    # 1.4GB read at B=1024 (pixel data in [0,1] loses nothing in bf16)
+    image = jnp.asarray(tile(setup.image1k)).astype(jnp.bfloat16)
+    retrieved = {k: jnp.asarray(tile(v)) for k, v in setup.retrieved1k.items()}
+    const_seq = jnp.asarray(tile(setup.const1k))
+    const_keep = jnp.asarray(tile(setup.keep1k))
+    forced = jnp.asarray(tile(setup.forced1k))
+
+    out = setup.sample_fn(image, retrieved, const_seq, const_keep, forced,
+                          setup.key)
+    jax.block_until_ready(out)
+
+    times, outs = [], []
+    for i in range(iters):
+        img_i = image + jax.random.normal(
+            jax.random.PRNGKey(100 + i), image.shape, image.dtype
+        ) * 0.05
+        jax.block_until_ready(img_i)  # pre-generation excluded from timing
+        t0 = time.perf_counter()
+        out = setup.sample_fn(
+            img_i, retrieved, const_seq, const_keep, forced,
+            jax.random.fold_in(setup.key, i),
+        )
         jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+        outs.append(np.asarray(out).tobytes())
+        del img_i
+    assert len(set(outs)) == iters, "memoized executions polluted timing"
+    return B / min(times), times
 
-        # genuinely distinct random canvases per timed iteration — the
-        # runtime memoizes repeated executions; verify outputs differ
-        iters = 5
-        imgs = [
-            image + jax.random.normal(jax.random.PRNGKey(100 + i), image.shape,
-                                      image.dtype) * 0.05
-            for i in range(iters)
-        ]
-        jax.block_until_ready(imgs)
-        times, outs = [], []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            out = sample_fn(
-                imgs[i], retrieved, const_seq, const_keep, forced,
-                jax.random.fold_in(key, i),
-            )
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-            outs.append(np.asarray(out).tobytes())
-        assert len(set(outs)) == iters, "memoized executions polluted timing"
-        tput = B / min(times)
+
+def main() -> None:
+    import jax
+
+    setup = build_flagship()
+
+    best, best_B = 0.0, 0
+    for B in (1024, 2048):
+        tput, _ = timed_throughput(setup, B)
         if tput > best:
             best, best_B = tput, B
 
@@ -158,16 +195,17 @@ def main() -> None:
     # checks token-identity on an 8-device virtual mesh).
     from ralf_tpu.parallel.decode import MeshSampler, make_decode_mesh
 
-    ms = MeshSampler(gen, make_decode_mesh(jax.devices()[:1]), sampling,
-                     kv_quant=True, self_quant=self_quant)
-    small = {k: v[:8] for k, v in retrieved1k.items()}
+    cond = setup.cond
+    ms = MeshSampler(setup.gen, make_decode_mesh(jax.devices()[:1]),
+                     setup.sampling, kv_quant=True, self_quant=setup.self_quant)
+    small = {k: v[:8] for k, v in setup.retrieved1k.items()}
     cond_small = type(cond)(
-        image=image1k[:8], task=cond.task, const_seq=const1k[:8],
-        const_mask=keep1k[:8], retrieved=small,
+        image=setup.image1k[:8], task=cond.task, const_seq=setup.const1k[:8],
+        const_mask=setup.keep1k[:8], retrieved=small,
         seq=None if cond.seq is None else cond.seq[:8],
         seq_mask=None if cond.seq_mask is None else cond.seq_mask[:8],
     )
-    ms.compile_and_verify(variables, cond_small, key)
+    ms.compile_and_verify(setup.variables, cond_small, setup.key)
 
     per_chip_target = 5000.0 / 8.0
     print(

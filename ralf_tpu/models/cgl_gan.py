@@ -79,8 +79,11 @@ class CGLGeneratorCore(nn.Module):
         self.decoder = TransformerDecoder(
             c.d_model, 8, c.num_decoder_layers, 2048, c.dropout, dtype
         )
-        self.head_norm = nn.LayerNorm(dtype=dtype)
-        self.head_fc = nn.Dense(c.d_model, dtype=dtype)
+        # NOTE: the reference constructs a `head` Sequential(LN/Linear/ReLU)
+        # but never applies it — `decode` feeds fc1/fc2 the raw decoder
+        # output (`cgl.py:79-83` vs `:108-119`).  Matching the actual
+        # compute, fc_cls/fc_box read the decoder output directly (torch
+        # A/B: tests/test_gan_torch_parity.py).
         self.fc_cls = nn.Dense(self.num_classes_total, use_bias=False, dtype=dtype)
         self.fc_box = nn.Dense(4, use_bias=False, dtype=dtype)
         if self.with_retrieval:
@@ -97,7 +100,6 @@ class CGLGeneratorCore(nn.Module):
         h = self.layout_encoder(packed_layout)
         h = self.pos_emb_1d(h, deterministic=not train)
         h = self.decoder(h, memory, causal=False, deterministic=not train)
-        h = nn.relu(self.head_fc(self.head_norm(h)))
         return self.fc_cls(h), nn.sigmoid(self.fc_box(h))
 
 

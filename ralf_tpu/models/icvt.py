@@ -135,18 +135,33 @@ class GADecoderLayer(nn.Module):
         x = x + self.self_attn(h, h, self_bias, deterministic)
         h = self.norm2(x)
         if self.ga_type == "add":
-            q_in, k_in, v_in = h + ga_q, memory + ga_k, memory
-            x = x + self.cross_attn(q_in, k_in, mem_bias, deterministic)
+            # `icvt.py:533-536`: key = mem + ga_k but VALUE = mem alone
+            ca = self.cross_attn
+            k = ca._split(ca.k_proj(memory + ga_k))
+            v = ca._split(ca.v_proj(memory))
+            x = x + ca.attend(h + ga_q, k, v, mem_bias, deterministic)
         elif self.ga_type == "concat":
+            # `icvt.py:537-556`: Q = [x, ga_q], K = [mem, ga_k], and the
+            # VALUE input is [mem, 0] (the GA half rides only the scores);
+            # the torch MHA then truncates out_proj's 2d output to the
+            # first d channels, so `cross_out` IS that truncated out_proj
+            # (applied to the raw concatenated head outputs, no 2d->2d
+            # projection in between — exact weight-port contract).
+            ca = self.cross_attn
             q_in = jnp.concatenate([h, ga_q], axis=-1)
             k_in = jnp.concatenate([memory, ga_k], axis=-1)
             v_in = jnp.concatenate([memory, jnp.zeros_like(memory)], axis=-1)
-            out = self.cross_attn.attend(
-                q_in, *self.cross_attn.project_kv(k_in), mem_bias, deterministic
-            )
-            # the torch MHA projects concat values back to d via out_proj;
-            # we mirror with an explicit projection of the doubled width
-            x = x + self.cross_out(out)
+            q = ca._split(ca.q_proj(q_in))
+            k = ca._split(ca.k_proj(k_in))
+            v = ca._split(ca.v_proj(v_in))
+            scale = jnp.asarray(ca.head_dim, q.dtype) ** -0.5
+            logits = jnp.einsum("bshd,bmhd->bhsm", q * scale, k)
+            if mem_bias is not None:
+                logits = logits + mem_bias.astype(logits.dtype)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+            out = jnp.einsum("bhsm,bmhd->bshd", probs, v)
+            B, S = q_in.shape[:2]
+            x = x + self.cross_out(out.reshape(B, S, -1))
         else:
             x = x + self.cross_attn(h, memory, mem_bias, deterministic)
         x = x + self.ffn(self.norm3(x), deterministic)
@@ -272,7 +287,11 @@ class ICVTCore(nn.Module):
     def decode_step_stack(self, tgt: jax.Array, img_memory: jax.Array,
                           ga_k: jax.Array) -> dict:
         h = self.pos_emb_1d(tgt, deterministic=True)
-        h = self.vae_decoder(h, img_memory, h, ga_k, causal=True)
+        # reference quirk, matched deliberately: at TRAIN time ga_input_query
+        # includes the positional encoding (the variable is overwritten,
+        # `icvt.py:291-303`), but at SAMPLE time it is the raw pre-PE target
+        # (`icvt.py:380-386` passes `tgt`, not `self.pos_emb_1d(tgt)`).
+        h = self.vae_decoder(h, img_memory, tgt, ga_k, causal=True)
         return self.layout_decoder(h)
 
     def embed_layout(self, ids: dict) -> jax.Array:
@@ -360,7 +379,24 @@ class ICVTGenerator:
         return total, {**losses, "nll_loss": total, "state": new_state}
 
     def sample(self, variables, cond_batch: dict, rng: np.random.Generator,
-               key: Optional[jax.Array] = None) -> Layout:
+               key: Optional[jax.Array] = None,
+               z: Optional[jax.Array] = None,
+               ref_duplicated_prefix: bool = False) -> Layout:
+        """`z` pins the VAE latent (torch A/B: tests/test_icvt_torch_parity.py);
+        normally it is drawn ~N(0, I) per `icvt.py:374-376`.
+
+        DELIBERATE deviation from the reference's sample loop: `icvt.py:405`
+        re-encodes the ENTIRE generated prefix and appends it to the target
+        every step (`tgt = cat([tgt, layout_encoder(outputs)])`), so the
+        decode target grows quadratically as [z, E0, E0..E1, E0..E2, ...]
+        with duplicated prefixes at shifted positional-encoding slots, and
+        step i reads position i of that sequence — inconsistent with the
+        train-time target [z, e0, ..., e{S-2}] (`icvt.py:291-303`).  The
+        default here is the train-consistent AR loop (append only the LAST
+        token's embedding); `ref_duplicated_prefix=True` reproduces the
+        reference loop token-for-token (locked by
+        tests/test_icvt_torch_parity.py::test_sample_parity) for users who
+        need bit-parity with reference checkpoints' published sampling."""
         key = key if key is not None else jax.random.PRNGKey(int(rng.integers(2**31)))
         image = jnp.asarray(cond_batch["image"])
         B = image.shape[0]
@@ -368,9 +404,13 @@ class ICVTGenerator:
         img_memory = self.core.apply(variables, image, method=ICVTCore.encode_image)
         ga_k = self.core.apply(variables, B, method=ICVTCore.ga_key_grid)
 
-        key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, (B, 1, d))
+        if z is None:
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, (B, 1, d))
         ids = {k: jnp.zeros((B, self.S), jnp.int32) for k in ("label", *GEO_KEYS)}
+
+        if ref_duplicated_prefix:
+            return self._sample_ref_loop(variables, z, img_memory, ga_k, ids)
 
         # fixed-shape AR loop: the target stays padded to [B, 1+S, D] with a
         # causal mask, so every step reuses ONE compiled program (a growing
@@ -391,4 +431,28 @@ class ICVTGenerator:
                 ids[k] = ids[k].at[:, i].set(step[k])
             emb = embed_fn(variables, {k: ids[k][:, i : i + 1] for k in ids})
             tgt = tgt.at[:, i + 1].set(emb[:, 0])
+        return self.icvt_tokenizer.decode(ids)
+
+    def _sample_ref_loop(self, variables, z, img_memory, ga_k, ids) -> Layout:
+        """Reference-exact sample loop (`icvt.py:392-405`): every step
+        appends the re-encoded FULL prefix, so the target at step i is
+        [z] ++ E_0 ++ ... ++ E_{i-1} (E_j = embeddings of tokens 0..j,
+        length 1 + i(i+1)/2) and the readout is position i.  Shapes grow
+        per step, so this path recompiles S times — parity/porting use
+        only; the default fixed-shape loop is the production path."""
+        segments = [z]
+        for i in range(self.S):
+            tgt = jnp.concatenate(segments, axis=1)
+            out = self.core.apply(
+                variables, tgt, img_memory, ga_k,
+                method=ICVTCore.decode_step_stack,
+            )
+            step = {k: jnp.argmax(out[k][:, i], -1) for k in ("label", *GEO_KEYS)}
+            for k in ids:
+                ids[k] = ids[k].at[:, i].set(step[k])
+            prefix = self.core.apply(
+                variables, {k: ids[k][:, : i + 1] for k in ids},
+                method=ICVTCore.embed_layout,
+            )
+            segments.append(prefix)
         return self.icvt_tokenizer.decode(ids)

@@ -303,6 +303,245 @@ def merge_params(base: dict, ported: dict, path: str = "") -> dict:
     return out
 
 
+def port_autoreg_core(
+    sd: dict,
+    num_encoder_layers: int = 6,
+    num_decoder_layers: int = 6,
+    backbone: str = "resnet50",
+) -> tuple[dict, dict]:
+    """Reference `ConcateAuxilaryTaskAutoreg` (`models/autoreg.py:432-622`:
+    ResNet50-FPN + 6L encoder + UserConstraintTransformerEncoder + flag
+    embeddings + BaseDecoder, no retrieval) state_dict ->
+    (params, batch_stats) subtrees for models.autoreg.AutoregCore."""
+    fpn_p, fpn_s = port_fpn_encoder(sd, "encoder.extractor", backbone)
+    params = {
+        "encoder": {
+            "extractor": fpn_p,
+            "transformer": port_encoder_stack(
+                sd, "transformer_encoder", num_encoder_layers
+            ),
+        },
+        "const_encoder": {
+            "Embed_0": {"embedding": sd["user_const_encoder.emb.weight"]},
+            "TransformerEncoder_0": port_encoder_stack(
+                sd, "user_const_encoder.encoder", num_encoder_layers
+            ),
+        },
+        "flag_emb": sd["task_emb.weight"],
+        "decoder": port_token_decoder(_sub(sd, "decoder."), num_decoder_layers),
+    }
+    return params, {"encoder": {"extractor": fpn_s}}
+
+
+# --------------------------------------------------------------------------
+# Other generator families (MaskGIT / CGL-GAN / DS-GAN / ICVT) — torch A/B
+# --------------------------------------------------------------------------
+
+
+def port_conv1d(sd: dict, prefix: str) -> dict:
+    """torch nn.Conv1d [Cout, Cin, k] -> flax nn.Conv kernel [k, Cin, Cout]."""
+    out = {"kernel": sd[f"{prefix}.weight"].transpose(2, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def port_image_encoder(sd: dict, prefix: str, backbone: str = "resnet50",
+                       num_layers: int = 6) -> tuple[dict, dict]:
+    """Reference cgl-style ImageEncoder (`common/image.py:132-231`:
+    ImageFeatureExtractor + sine 2D PE + pre-LN TransformerEncoder) ->
+    models.resnet.ImageEncoder(fpn_style='cgl') (params, batch_stats)."""
+    trunk_p, trunk_s = port_resnet_trunk(
+        _sub(sd, f"{prefix}extractor.body."), backbone, in_channels=4
+    )
+    params = {
+        "extractor": {
+            "trunk": trunk_p,
+            "conv11": _conv_bias(sd, f"{prefix}extractor.conv11"),
+            "conv22": _conv_bias(sd, f"{prefix}extractor.conv22"),
+            "conv33": _conv_bias(sd, f"{prefix}extractor.conv33"),
+        },
+        "transformer": port_encoder_stack(
+            sd, f"{prefix}transformer_encoder", num_layers
+        ),
+    }
+    return params, {"extractor": {"trunk": trunk_s}}
+
+
+def port_maskgit(sd: dict, num_encoder_layers: int = 6,
+                 num_decoder_layers: int = 6,
+                 backbone: str = "resnet50") -> tuple[dict, dict]:
+    """Reference MaskGIT (`models/maskgit.py:63-121`) -> MaskGITCore."""
+    enc_p, enc_s = port_image_encoder(sd, "encoder.", backbone, num_encoder_layers)
+    params = {
+        "encoder": enc_p,
+        "decoder": port_token_decoder(_sub(sd, "decoder."), num_decoder_layers),
+    }
+    return params, {"encoder": enc_s}
+
+
+def _decoder_stack(sd: dict, prefix: str, num_layers: int) -> dict:
+    return {
+        f"layer_{i}": port_decoder_layer(sd, f"{prefix}.layers.{i}")
+        for i in range(num_layers)
+    }
+
+
+def port_cgl_generator(sd: dict, num_encoder_layers: int = 6,
+                       num_decoder_layers: int = 6,
+                       backbone: str = "resnet50") -> tuple[dict, dict]:
+    """Reference CGLGenerator (`models/cgl.py:19-119`) -> CGLGeneratorCore.
+    The reference's `head` Sequential is constructed but never applied in
+    `decode` (`cgl.py:79-83` vs `:108-119`) — fc1/fc2 read the decoder
+    output directly, so no head keys are ported."""
+    enc_p, enc_s = port_image_encoder(sd, "encoder.", backbone, num_encoder_layers)
+    params = {
+        "encoder": enc_p,
+        "layout_encoder": {"Conv_0": port_conv1d(sd, "layout_encoder.0")},
+        "decoder": _decoder_stack(sd, "transformer_decoder", num_decoder_layers),
+        "fc_cls": {"kernel": sd["fc1.weight"].T},
+        "fc_box": {"kernel": sd["fc2.weight"].T},
+    }
+    return params, {"encoder": enc_s}
+
+
+def port_cgl_discriminator(sd: dict, num_layers: int = 4,
+                           backbone: str = "resnet18") -> tuple[dict, dict]:
+    """Reference CGLDiscriminator (`models/cgl.py:185-271`)."""
+    enc_p, enc_s = port_image_encoder(sd, "encoder.", backbone, num_layers)
+    params = {
+        "encoder": enc_p,
+        "layout_encoder": {"Conv_0": port_conv1d(sd, "layout_encoder.0")},
+        "decoder": _decoder_stack(sd, "transformer_decoder", num_layers),
+        "head_norm": _layernorm(sd, "head.0"),
+        "head": {"kernel": sd["head.1.weight"].T},
+    }
+    return params, {"encoder": enc_s}
+
+
+def port_lstm_cells(sd: dict, prefix: str, num_layers: int) -> dict:
+    """torch nn.LSTM(bidirectional) -> models.dsgan.BiLSTM cell params.
+    torch packs gates (i, f, g, o) along rows of weight_ih/weight_hh; flax
+    LSTMCell keeps one Dense per gate, with bias only on the hidden path —
+    so the two torch biases fold into one (the gate pre-activations add)."""
+    out: dict = {}
+    for layer in range(num_layers):
+        for d, suf in enumerate(("", "_reverse")):
+            w_ih = sd[f"{prefix}.weight_ih_l{layer}{suf}"]  # [4H, C]
+            w_hh = sd[f"{prefix}.weight_hh_l{layer}{suf}"]  # [4H, H]
+            b = (sd[f"{prefix}.bias_ih_l{layer}{suf}"]
+                 + sd[f"{prefix}.bias_hh_l{layer}{suf}"])
+            H = w_hh.shape[1]
+            cell: dict = {}
+            for gi, g in enumerate("ifgo"):
+                sl = slice(gi * H, (gi + 1) * H)
+                cell[f"i{g}"] = {"kernel": w_ih[sl].T}
+                cell[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+            out[f"l{layer}_d{d}"] = cell
+    return out
+
+
+def _port_ds_tower(sd: dict, num_lstm_layers: int,
+                   backbone: str) -> tuple[dict, dict]:
+    """Shared DSGenerator/DSDiscriminator topology (`models/dsgan.py`):
+    ResnetBackbone lstm head (`common/image.py:27-117`) + CNN_LSTM."""
+    fpn_p, fpn_s = port_fpn_encoder(sd, "encoder.extractor", backbone)
+    params = {
+        "encoder": {
+            "ResNetFPNEncoder_0": fpn_p,
+            "Dense_0": _dense(sd, "encoder.extractor.fc_h0"),
+        },
+        "cnnlstm": {
+            "Conv_0": port_conv1d(sd, "cnnlstm.conv.0"),
+            "BiLSTM_0": port_lstm_cells(sd, "cnnlstm.lstm", num_lstm_layers),
+        },
+    }
+    return params, {"encoder": {"ResNetFPNEncoder_0": fpn_s}}
+
+
+def port_ds_generator(sd: dict, num_lstm_layers: int = 4,
+                      backbone: str = "resnet50") -> tuple[dict, dict]:
+    """Reference DSGenerator (`models/dsgan.py:70-135`) -> DSGeneratorCore."""
+    params, stats = _port_ds_tower(sd, num_lstm_layers, backbone)
+    params["fc_cls"] = _dense(sd, "fc1")
+    params["fc_box"] = _dense(sd, "fc2")
+    return params, stats
+
+
+def port_ds_discriminator(sd: dict, num_lstm_layers: int = 2,
+                          backbone: str = "resnet18") -> tuple[dict, dict]:
+    """Reference DSDiscriminator (`models/dsgan.py:201-247`)."""
+    params, stats = _port_ds_tower(sd, num_lstm_layers, backbone)
+    params["fc_tf"] = _dense(sd, "fc_tf")
+    return params, stats
+
+
+def port_ga_decoder(sd: dict, prefix: str, num_layers: int,
+                    d_model: int) -> dict:
+    """Reference GeometryAlignedTransformerDecoder (`icvt.py:443-599`,
+    ga_type=concat) -> models.icvt.GADecoder.  The torch cross-attention
+    runs at width 2d and truncates out_proj's output to the first d
+    channels (`icvt.py:554-556`); the flax twin's `cross_out` IS that
+    truncated out_proj, so only its first-d rows are ported."""
+    out: dict = {}
+    for i in range(num_layers):
+        p = f"{prefix}.layers.{i}"
+        # the concat path never applies cross_attn.out_proj (its role is
+        # taken by the truncated `cross_out`), so the flax tree has no such
+        # leaf — drop it from the generic MHA port
+        cross = port_mha(sd, f"{p}.multihead_attn")
+        cross.pop("out_proj", None)
+        out[f"layer_{i}"] = {
+            "self_attn": port_mha(sd, f"{p}.self_attn"),
+            "cross_attn": cross,
+            "cross_out": {
+                "kernel": sd[f"{p}.multihead_attn.out_proj.weight"][:d_model].T,
+                "bias": sd[f"{p}.multihead_attn.out_proj.bias"][:d_model],
+            },
+            "ffn": {
+                "Dense_0": _dense(sd, f"{p}.linear1"),
+                "Dense_1": _dense(sd, f"{p}.linear2"),
+            },
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "norm3": _layernorm(sd, f"{p}.norm3"),
+        }
+    return out
+
+
+def port_icvt(sd: dict, d_model: int = 200, num_layers: int = 6,
+              backbone: str = "resnet50") -> tuple[dict, dict]:
+    """Reference ICVTGenerator (`models/icvt.py:122-236`) -> ICVTCore."""
+    from ralf_tpu.core.layout import GEO_KEYS
+
+    enc_p, enc_s = port_image_encoder(sd, "encoder.", backbone, num_layers)
+
+    def dict_embed(prefix: str, with_label: bool) -> dict:
+        keys = (("label",) if with_label else ()) + tuple(GEO_KEYS)
+        return {
+            f"embed_{k}": {"embedding": sd[f"{prefix}.embed_{k}.weight"]}
+            for k in keys
+        }
+
+    params = {
+        "encoder": enc_p,
+        "layout_encoder": dict_embed("layout_encoder", True),
+        "ga_layout_encoder": dict_embed("ga_layout_encoder", False),
+        "layout_decoder": {
+            "fc_label": _dense(sd, "layout_decoder.fc_label"),
+            **{f"fc_{k}": _dense(sd, f"layout_decoder.fc_{k}")
+               for k in GEO_KEYS},
+        },
+        "vae_encoder": port_ga_decoder(sd, "vae_encoder", num_layers, d_model),
+        "vae_decoder": port_ga_decoder(sd, "vae_decoder", num_layers, d_model),
+        "aap": port_mha(sd, "aap"),
+        "learnable_token": sd["_learnable_token.weight"][None],  # [1, 1, d]
+        "fc_mu": _dense(sd, "vae_head.fc_mu"),
+        "fc_var": _dense(sd, "vae_head.fc_var"),
+    }
+    return params, {"encoder": enc_s}
+
+
 def load_pretrained_trunk_if_available(
     path: str, backbone: str = "resnet50", in_channels: int = 4
 ) -> Optional[tuple[dict, dict]]:

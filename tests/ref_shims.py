@@ -185,8 +185,16 @@ def install() -> None:
             return (x - self.mean.view(shape)) / self.std.view(shape)
 
     transforms.Normalize = _Normalize
+
+    # torchvision.ops.boxes.box_area (used by common_gan/rec_loss.py:13)
+    ops = _module("torchvision.ops")
+    boxes_mod = _module("torchvision.ops.boxes")
+    boxes_mod.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    ops.boxes = boxes_mod
+
     tv.models = models
     tv.transforms = transforms
+    tv.ops = ops
 
     if "omegaconf" not in sys.modules:
         omegaconf = _module("omegaconf")
@@ -212,3 +220,5 @@ def install() -> None:
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models.feature_extraction"] = fe
     sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.ops.boxes"] = boxes_mod
