@@ -68,7 +68,16 @@ def main() -> None:
     p.add_argument("--max-retries", type=int, default=4,
                    help="relation-decode backtracking budget (violations "
                         "fall monotonically with retries: 59.5%% at 0 -> "
-                        "23.6%% at 12 on the synthetic relation model)")
+                        "23.6%% at 12 on the synthetic relation model). "
+                        "SEMANTIC DELTA vs the reference: the reference's "
+                        "relation automaton (relation_restriction.py) prunes "
+                        "the token space IN-LOOP during generation; this "
+                        "rebuild instead samples up to max-retries candidate "
+                        "elements per position from the same KV snapshot and "
+                        "keeps the fewest-violations one (post-hoc scoring, "
+                        "whole batch in one jitted scan — see "
+                        "ops/relation_decode.py). Matched-weights violation "
+                        "rates for both: scripts/compare_relation_decode.py")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 shared-memory decode (1.13x; layout metrics "
                         "at parity with bf16 on trained checkpoints)")
