@@ -76,11 +76,13 @@ def build_flagship(self_quant: bool | None = None) -> SimpleNamespace:
             v, im, r, cs, ck, False, method=RALFCore.encode_memory
         )
     )
-    # int8 shared-memory decode: quality-gated on trained synthetic
-    # checkpoints (alignment delta 1e-4, overlap delta 2e-3, identical
-    # element-count distribution vs bf16 — BENCH_NOTES.md)
+    # int8 shared-memory decode AND int8 per-token self caches: both
+    # quality-gated on trained synthetic checkpoints (r3 gate, 15-epoch
+    # flagship, greedy, 64 val canvases: kv+self_quant vs bf16 = 93.6%
+    # token agreement, elem-count L1 5/64, align delta 8.5e-4, overlap
+    # delta 2.1e-2 — same class as the kv_quant-only arm; BENCH_NOTES.md)
     if self_quant is None:
-        self_quant = os.environ.get("RALF_BENCH_SELF_QUANT", "0") == "1"
+        self_quant = os.environ.get("RALF_BENCH_SELF_QUANT", "1") == "1"
     dec = jax.jit(
         lambda v, m, f, k: gen.decode(
             v, m, f, sampling, k, kv_quant=True, self_quant=self_quant
@@ -183,7 +185,7 @@ def main() -> None:
     setup = build_flagship()
 
     best, best_B = 0.0, 0
-    for B in (1024, 2048):
+    for B in (2048, 4096):
         tput, _ = timed_throughput(setup, B)
         if tput > best:
             best, best_B = tput, B
@@ -211,7 +213,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"layouts/sec/chip (full RALF sample: encode+KV-cached constrained decode, B={best_B}, bf16 compute, int8 shared-memory decode, top-p; sharded program verified collective/host-sync free => v5e-8 projection = 8x)",
+                "metric": f"layouts/sec/chip (full RALF sample: encode+KV-cached constrained decode, B={best_B}, bf16 compute, int8 shared memory + int8 self caches, top-p; sharded program verified collective/host-sync free => v5e-8 projection = 8x)",
                 "value": round(best, 2),
                 "unit": "layouts/sec",
                 "vs_baseline": round(best / per_chip_target, 3),

@@ -197,11 +197,18 @@ class MultiHeadAttention(nn.Module):
         if bias is None and self.use_pallas_decode:
             from ralf_tpu.ops.pallas.decode_attention import (
                 fused_decode_shared_attention_q8,
+                fused_decode_shared_attention_q8mxu,
                 pallas_decode_available,
+                use_q8_mxu,
             )
 
             if pallas_decode_available():
-                ot = fused_decode_shared_attention_q8(qt, mem_i8, mem_scale)
+                if use_q8_mxu():
+                    # both dots consume the int8 memory directly on the MXU
+                    # (int32 accumulation) — no [M, E] VPU dequant pass
+                    ot = fused_decode_shared_attention_q8mxu(qt, mem_i8, mem_scale)
+                else:
+                    ot = fused_decode_shared_attention_q8(qt, mem_i8, mem_scale)
         if ot is None:  # reference path (CPU tests / bias)
             memf = mem_i8.astype(jnp.float32) * mem_scale[:, :, None]
             scores = jnp.einsum("bhe,bme->bhm", qt.astype(jnp.float32), memf)

@@ -77,6 +77,16 @@ def pallas_decode_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def use_q8_mxu() -> bool:
+    """Select the full-int8 MXU shared-memory kernel over the
+    dequantize-first one.  Default OFF: measured ~5% slower end-to-end on
+    v5e (see the negative-result note above); RALF_Q8_MXU=1 re-enables for
+    experiments."""
+    import os
+
+    return os.environ.get("RALF_Q8_MXU", "0") == "1"
+
+
 # --------------------------------------------------------------------------
 # shared-memory (weight-folded) cross-attention variant — the decode default
 # --------------------------------------------------------------------------
@@ -216,6 +226,132 @@ def fused_decode_shared_attention_q8(
         ),
         interpret=interpret,
     )(q_tilde, mem_i8, s_h)
+
+
+# --------------------------------------------------------------------------
+# full-int8 MXU variant of the shared-memory kernel: both dots consume the
+# int8 memory block DIRECTLY (int8 x int8 -> int32 on the MXU), removing the
+# [M, E] VPU int8->f32 conversion that bounds _shared_kernel_q8 (~425GB/s
+# effective vs the raw int8 HBM stream — BENCH_NOTES).  The query (already
+# weight-folded) is absmax-quantized per head outside the kernel; the
+# probability rows are absmax-quantized per head INSIDE the kernel after the
+# per-token v-scale is folded in, so the second dot is int8 too.  Extra
+# quantization error: p rows at 1/127 of row max.
+#
+# MEASURED NEGATIVE RESULT (r3, kept for evidence): 2277 vs 2407 layouts/s
+# end-to-end and 0.96x in a 50-call microbench at the bench shape — the
+# kernel is DMA-stream-bound, not conversion-bound, and the per-step query
+# quantize + 4x row tiling (int8 min-tile (32, 128)) cost more than the
+# conversion they remove.  OFF by default (use_q8_mxu); see BENCH_NOTES.md.
+# --------------------------------------------------------------------------
+
+
+def quantize_q_tilde(qt: jax.Array):
+    """[B, H, E] folded query -> (int8 [B, H, E], per-head f32 scale [B, H])."""
+    absmax = jnp.max(jnp.abs(qt.astype(jnp.float32)), axis=2)  # [B, H]
+    qs = jnp.maximum(absmax, 1e-8) / 127.0
+    qi = jnp.clip(jnp.round(qt.astype(jnp.float32) / qs[:, :, None]), -127, 127)
+    return qi.astype(jnp.int8), qs
+
+
+def _shared_kernel_q8mxu(qt_ref, mem_ref, s_ref, qs_ref, o_ref, *,
+                         nhead: int, rows: int, bb: int = 1):
+    # blocks: qt int8 [bb, R, E] (R = rows; R > H rows are concat-order
+    # copies of the H real heads), mem int8 [bb, M, E], s f32 [bb, H, M]
+    # (per-token v dequant scale replicated over heads), qs f32 [bb, H, 128]
+    # (per-head q dequant scale broadcast over lanes), o [bb, H, E].
+    reps = rows // nhead
+    for i in range(bb):
+        qi = qt_ref[i]  # [R, E] int8
+        mem = mem_ref[i]  # [M, E] int8 — never converted
+        s = s_ref[i]  # [H, M] f32
+        qs = qs_ref[i][:, 0:1]  # [H, 1] f32
+        if reps > 1:  # expand scales to the R-row layout IN VMEM (concat
+            s = jnp.concatenate([s] * reps, axis=0)  # order matches the
+            qs = jnp.concatenate([qs] * reps, axis=0)  # tiled q rows)
+        scores_i = jax.lax.dot_general(  # [R, M] int32 on the MXU
+            qi, mem, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sc = scores_i.astype(jnp.float32) * qs * s  # dequant: q-scale x v-scale
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p2 = p * s  # fold the per-token v dequant scale before quantizing
+        ps = jnp.maximum(
+            jnp.max(jnp.abs(p2), axis=-1, keepdims=True), 1e-30
+        )  # [R, 1]
+        pi = jnp.clip(jnp.round(p2 * (127.0 / ps)), -127, 127).astype(jnp.int8)
+        out_i = jax.lax.dot_general(  # [R, E] int32 on the MXU
+            pi, mem, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = out_i.astype(jnp.float32) * (ps * (1.0 / 127.0))
+        o_ref[i] = out[:nhead].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
+def fused_decode_shared_attention_q8mxu(
+    q_tilde: jax.Array,  # [B, H, E] — query pre-folded through Wk^T (+ scale)
+    mem_i8: jax.Array,  # [B, M, E] int8 shared memory
+    mem_scale: jax.Array,  # [B, M] f32 per-token dequant scale
+    interpret: bool = False,
+    rows: int = 32,  # int8 sublane tile is 32: pad the head dim to this
+) -> jax.Array:
+    """int8-MXU shared-memory attention step -> o_tilde [B, H, E].
+
+    Same contract as fused_decode_shared_attention_q8, but the memory block
+    feeds both MXU dots as int8 (int32 accumulation) instead of being
+    converted to f32 on the VPU first.  rows=32 tiles the H=8 query heads
+    4x in concat order so every int8 operand meets the (32, 128) min-tile
+    shape; the duplicate rows are discarded at the store."""
+    B, H, E = q_tilde.shape
+    M = mem_i8.shape[1]
+    assert rows % H == 0 and rows >= H
+    qi, qs = quantize_q_tilde(q_tilde)
+    if rows > H:
+        qi = jnp.concatenate([qi] * (rows // H), axis=1)  # [B, R, E]
+    bb = max(b for b in (8, 4, 2, 1) if B % b == 0)
+    s_h = jnp.broadcast_to(mem_scale[:, None, :], (B, H, M)).astype(jnp.float32)
+    qs_l = jnp.broadcast_to(qs[:, :, None], (B, H, 128)).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _shared_kernel_q8mxu, nhead=H, rows=rows, bb=bb
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, E), q_tilde.dtype),
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, rows, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, M, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, M), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, H, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, H, E), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * rows * E * M * 2,
+            bytes_accessed=B * M * E + 4 * B * H * M,
+            transcendentals=B * rows * M,
+        ),
+        interpret=interpret,
+    )(qi, mem_i8, s_h, qs_l)
+
+
+def q8mxu_reference(q_tilde, mem_i8, mem_scale):
+    """XLA emulation of the kernel's exact quantized math (test oracle)."""
+    B, H, E = q_tilde.shape
+    qi, qs = quantize_q_tilde(q_tilde)
+    scores = jnp.einsum(
+        "bhe,bme->bhm", qi.astype(jnp.int32), mem_i8.astype(jnp.int32)
+    ).astype(jnp.float32)
+    scores = scores * qs[:, :, None] * mem_scale[:, None, :]
+    p = jax.nn.softmax(scores, axis=-1)
+    p2 = p * mem_scale[:, None, :]
+    ps = jnp.maximum(jnp.max(jnp.abs(p2), axis=-1, keepdims=True), 1e-30)
+    pi = jnp.clip(jnp.round(p2 * (127.0 / ps)), -127, 127)
+    out = jnp.einsum(
+        "bhm,bme->bhe", pi.astype(jnp.int32), mem_i8.astype(jnp.int32)
+    ).astype(jnp.float32)
+    return (out * ps * (1.0 / 127.0)).astype(q_tilde.dtype)
 
 
 # --------------------------------------------------------------------------

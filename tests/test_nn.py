@@ -387,3 +387,30 @@ def test_self_quant_decode_runs_and_respects_forcing():
     assert np.all(np.asarray(q8[:, 3]) == 7)
     agree = np.mean(np.asarray(q8) == np.asarray(base))
     assert agree >= 0.7, f"q8 self-cache decode diverged too far: {agree}"
+
+
+def test_q8mxu_shared_attention_interpret():
+    # Full-int8 MXU shared-memory decode kernel: interpret mode must match
+    # the XLA emulation of its exact quantized math bit-for-bit-ish, and
+    # stay within int8-grade tolerance of the dequantize-first q8 path.
+    from ralf_tpu.ops.pallas.decode_attention import (
+        fused_decode_shared_attention_q8mxu,
+        q8mxu_reference,
+        quantize_shared_memory,
+    )
+
+    B, H, E, M = 8, 8, 64, 40
+    qt = jax.random.normal(jax.random.PRNGKey(0), (B, H, E), jnp.float32)
+    mem = jax.random.normal(jax.random.PRNGKey(1), (B, M, E), jnp.float32)
+    mi, ms = quantize_shared_memory(mem)
+
+    out = fused_decode_shared_attention_q8mxu(qt, mi, ms, interpret=True)
+    ref = q8mxu_reference(qt, mi, ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    memf = mi.astype(jnp.float32) * ms[:, :, None]
+    scores = jnp.einsum("bhe,bme->bhm", qt, memf)
+    q8cur = jnp.einsum("bhm,bme->bhe", jax.nn.softmax(scores, -1), memf)
+    scale = float(jnp.max(jnp.abs(q8cur)))
+    rel = float(jnp.max(jnp.abs(out - q8cur))) / scale
+    assert rel < 0.1, f"q8mxu drifted {rel} from the dequantize-first path"
