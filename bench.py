@@ -89,7 +89,9 @@ def build_flagship(self_quant: bool | None = None) -> SimpleNamespace:
         )
     )
 
-    ENC_CHUNK = 1024  # encode memory ceiling; decode amortizes across chunks
+    # encode memory ceiling (HBM-bound); decode amortizes across chunks.
+    # Env-overridable for one-off sweeps (scripts/bench_b4096.py).
+    ENC_CHUNK = int(os.environ.get("RALF_BENCH_ENC_CHUNK", "1024"))
 
     # one B=1024 retrieval-augmented batch, tiled on the batch axis: the
     # timed loop perturbs every canvas independently, so all tiled rows are

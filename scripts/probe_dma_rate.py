@@ -1,0 +1,105 @@
+"""Probe: is the int8 shared-memory decode stream DMA-rate-bound by its
+*dtype tiling* (int8 min-tile (32,128)) rather than by bytes?
+
+BENCH_NOTES records the q8 kernel streaming at ~425GB/s effective while the
+bf16 kernel streams at ~626GB/s — int8 moves half the bytes at two-thirds
+the rate.  If the SAME bytes stream faster when the HBM-resident buffer is
+bitcast to a wider dtype (int16/int32 views of the int8 memory), the q8
+kernel could DMA a wide view and unpack in VMEM, lifting the dominant
+decode stream toward the bf16 rate on half the bytes.
+
+This measures pure stream rate: a minimal Pallas kernel per dtype view that
+DMAs [bb, M, ...] blocks of identical byte count and does one cheap VPU
+reduction (so Mosaic cannot elide the load).  50 sequential calls at the
+bench shape, distinct inputs per call (memoization hygiene).
+
+Usage: python scripts/probe_dma_rate.py [B]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sum_kernel(x_ref, o_ref):
+    # one cheap reduction per block: forces the DMA, negligible VPU time
+    o_ref[...] = jnp.sum(
+        x_ref[...].astype(jnp.float32), axis=tuple(range(1, x_ref.ndim))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bb",))
+def stream_sum(x: jax.Array, bb: int = 8) -> jax.Array:
+    B = x.shape[0]
+    blk = (bb,) + x.shape[1:]
+    ix = lambda b: (b,) + (0,) * (x.ndim - 1)
+    return pl.pallas_call(
+        _sum_kernel,
+        out_shape=jax.ShapeDtypeStruct((B,), jnp.float32),
+        grid=(B // bb,),
+        in_specs=[pl.BlockSpec(blk, ix, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bb,), lambda b: (b,), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=x.size, bytes_accessed=x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x)
+
+
+def timed(fn, xs, tag, nbytes):
+    jax.block_until_ready(fn(xs[0]))  # warm/compile
+    t0 = time.perf_counter()
+    outs = [fn(x) for x in xs]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / len(xs)
+    print(f"{tag:28s}: {dt * 1e3:7.3f} ms/call, {nbytes / dt / 1e9:6.0f} GB/s")
+    assert len({np.asarray(o).tobytes() for o in outs}) == len(xs), "memoized"
+    return dt
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    M, E = 680, 256
+    nbytes = B * M * E  # one int8 memory slab's bytes
+
+    key = jax.random.PRNGKey(0)
+    slabs = []
+    for i in range(50):
+        r = jax.random.randint(
+            jax.random.fold_in(key, i), (B, M, E), -127, 128, jnp.int32
+        )
+        slabs.append(jax.block_until_ready(r.astype(jnp.int8)))
+
+    views16 = [jax.lax.bitcast_convert_type(
+        s.reshape(B, M, E // 2, 2), jnp.int16).reshape(B, M, E // 2)
+        for s in slabs]
+    views32 = [jax.lax.bitcast_convert_type(
+        s.reshape(B, M, E // 4, 4), jnp.int32).reshape(B, M, E // 4)
+        for s in slabs]
+    viewsf32 = [jax.lax.bitcast_convert_type(
+        s.reshape(B, M, E // 4, 4), jnp.float32).reshape(B, M, E // 4)
+        for s in slabs]
+    jax.block_until_ready((views16, views32, viewsf32))
+    # bf16 reference slab: SAME element count (double the bytes) — the rate
+    # the bf16 kernel enjoys
+    bf16 = [s.astype(jnp.bfloat16) for s in slabs]
+    jax.block_until_ready(bf16)
+
+    timed(stream_sum, slabs, f"int8   [{B},{M},{E}]", nbytes)
+    timed(stream_sum, views16, f"int16  [{B},{M},{E // 2}] (bitcast)", nbytes)
+    timed(stream_sum, views32, f"int32  [{B},{M},{E // 4}] (bitcast)", nbytes)
+    timed(stream_sum, viewsf32, f"f32    [{B},{M},{E // 4}] (bitcast)", nbytes)
+    timed(stream_sum, bf16, f"bf16   [{B},{M},{E}] (2x bytes)", 2 * nbytes)
+
+
+if __name__ == "__main__":
+    main()
