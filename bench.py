@@ -92,6 +92,8 @@ def build_flagship(self_quant: bool | None = None) -> SimpleNamespace:
     # encode memory ceiling (HBM-bound); decode amortizes across chunks.
     # Env-overridable for one-off sweeps (scripts/bench_b4096.py).
     ENC_CHUNK = int(os.environ.get("RALF_BENCH_ENC_CHUNK", "1024"))
+    assert ENC_CHUNK > 0, (
+        f"RALF_BENCH_ENC_CHUNK must be a positive int, got {ENC_CHUNK}")
 
     # one B=1024 retrieval-augmented batch, tiled on the batch axis: the
     # timed loop perturbs every canvas independently, so all tiled rows are
@@ -181,8 +183,127 @@ def timed_throughput(setup: SimpleNamespace, B: int, iters: int = 5) -> tuple:
     return B / min(times), times
 
 
-def main() -> None:
+def bench_family(family: str, task: str = "uncond", B: int = 512,
+                 iters: int = 4) -> dict:
+    """Throughput of ANY experiment preset's full sample path at batch B
+    (VERDICT r3 #4: the reference prints ms/sample per job across all 8
+    families and 6 tasks — `inference.py:495`).  Reference-scale synthetic
+    data (canvas 350x240, S=10), init weights, bf16 for the token models
+    (the flagship bench config), f32 for the GAN/VAE families.
+
+    Returns {"family", "task", "B", "layouts_per_sec", "ms_per_sample"}.
+    """
     import jax
+    import jax.numpy as jnp
+
+    from ralf_tpu.config import build_config, build_generator, build_tokenizer
+    from ralf_tpu.data.dataset import BatchLoader, SyntheticPosterDataset
+
+    kwargs = dict(synthetic_data=True, allow_linear_fallback=True)
+    cfg = build_config(family, **kwargs)
+    cfg.auxiliary_task = task
+    if cfg.tokenizer is not None:  # token models ride the bf16 bench config
+        cfg.model["dtype"] = jnp.bfloat16
+
+    tokenizer = build_tokenizer(cfg) if cfg.tokenizer is not None else None
+    gen = build_generator(cfg, tokenizer)
+    variables = ({"params": {}} if cfg.experiment == "retriever"
+                 else gen.init(jax.random.PRNGKey(0)))
+    sampling = cfg.sampling
+
+    src = min(B, 512)
+    ds = SyntheticPosterDataset(cfg.dataset, size=src, seed=0)
+    loader = BatchLoader(ds, src, shuffle=False, seed=0,
+                         transforms=cfg.transforms)
+    needs_retrieval = (cfg.experiment == "ralf"
+                       or cfg.generator_kwargs.get("with_retrieval"))
+    if needs_retrieval:
+        from ralf_tpu.retrieval.retriever import Retriever
+        from ralf_tpu.retrieval.wrapper import RetrievalAugmentedLoader
+
+        gallery = SyntheticPosterDataset(cfg.dataset, size=256, seed=1)
+        retriever = Retriever.build(gallery, "saliency")
+        feats = (gen.precompute_retrieved_feats(variables, retriever.layouts)
+                 if hasattr(gen, "precompute_retrieved_feats") else None)
+        loader = RetrievalAugmentedLoader(
+            loader, retriever, cfg.generator_kwargs.get("top_k", 16),
+            feats_table=feats)
+    batch = next(iter(loader))
+    reps = B // src
+    if reps > 1:
+        tile = lambda a: np.concatenate([a] * reps, 0)
+        batch = jax.tree.map(
+            lambda a: tile(np.asarray(a)) if hasattr(a, "shape")
+            and getattr(a, "ndim", 0) >= 1 and a.shape[0] == src else a,
+            batch)
+
+    is_token = tokenizer is not None
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    def run(i: int):
+        # memoization hygiene: fresh host RNG draws + perturbed canvases +
+        # folded key per iteration
+        b = dict(batch)
+        b["image"] = (np.asarray(batch["image"], np.float32)
+                      + rng.normal(0, 0.05, batch["image"].shape)
+                      .astype(np.float32))
+        k = jax.random.fold_in(key, i)
+        if is_token:
+            cond, _ = gen.build_condition(b, rng, task=task)
+            out = gen.sample(variables, cond, sampling, k,
+                             return_tokens=True)
+            layout, toks = out if isinstance(out, tuple) else (out, None)
+            jax.block_until_ready(layout.label)
+            return np.asarray(toks if toks is not None else layout.label)
+        layout = gen.sample(variables, b, rng, key=k) \
+            if cfg.experiment == "icvt" else gen.sample(variables, b, rng)
+        jax.block_until_ready(layout.label)
+        return np.asarray(layout.center_x)
+
+    run(0)  # warm / compile
+    times, outs = [], []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        o = run(i + 1)
+        times.append(time.perf_counter() - t0)
+        outs.append(o.tobytes())
+    assert len(set(outs)) == iters or cfg.experiment == "retriever", \
+        "memoized executions polluted timing"
+    best = min(times)
+    return {
+        "family": family, "task": task, "B": B,
+        "layouts_per_sec": round(B / best, 1),
+        "ms_per_sample": round(1000.0 * best / B, 3),
+    }
+
+
+def main() -> None:
+    import argparse
+
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default=None,
+                    help="experiment preset (ralf/autoreg/maskgit/layoutdm/"
+                         "vqdiffusion/cglgan/dsgan/icvt/retriever/...); "
+                         "default = the flagship headline bench")
+    ap.add_argument("--task", default="uncond")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.family is not None:
+        r = bench_family(args.family, args.task, args.batch, args.iters)
+        print(json.dumps({
+            "metric": f"layouts/sec/chip ({r['family']} {r['task']} full "
+                      f"sample path, B={r['B']})",
+            "value": r["layouts_per_sec"],
+            "unit": "layouts/sec",
+            "ms_per_sample": r["ms_per_sample"],
+            "vs_baseline": round(r["layouts_per_sec"] / (5000.0 / 8.0), 3),
+        }))
+        return
 
     setup = build_flagship()
 

@@ -79,6 +79,11 @@ def main() -> None:
     p.add_argument("--lpips-size", type=int, default=224,
                    help="LPIPS input resolution (224 = VGG-parity; smaller "
                         "trades fidelity for builder speed)")
+    p.add_argument("--lpips-net", choices=["alex", "vgg"], default="alex",
+                   help="alex = the reference's exact AlexNet+lins metric "
+                        "(weights from cache/lpips_alex.pth when present); "
+                        "vgg = the baseline-weights VGG arm on the shared "
+                        "R_shm checkpoint")
     p.add_argument("--cross-dataset-dir", default=None,
                    help="gallery from another dataset (cross-dataset study)")
     args = p.parse_args()
@@ -146,6 +151,7 @@ def main() -> None:
                     lambda rows: gallery_ds.get_images(rows),
                     cache_dir=args.cache_dir,
                     size=args.lpips_size,
+                    net=args.lpips_net,
                 )
                 backbone_key = "lpips"
             path = cache_mod.save_retrieval_table(

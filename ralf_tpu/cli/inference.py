@@ -86,9 +86,9 @@ def main() -> None:
                         "scan (AR models only; scales fold exactly)")
     p.add_argument("--mesh", default="auto", choices=["auto", "on", "off"],
                    help="shard the sample program's batch over all devices "
-                        "(parallel/decode.MeshSampler). auto = on when >1 "
-                        "device and the model is AR-family; relation decode "
-                        "stays single-chip (host-orchestrated retries)")
+                        "(parallel/zoo.build_mesh_sampler — covers every "
+                        "experiment preset incl. the relation retry decode). "
+                        "auto = on when >1 device")
     args = p.parse_args()
 
     import jax
@@ -226,24 +226,27 @@ def main() -> None:
     sampling = cfg.sampling
     is_token_model = tokenizer is not None
 
-    # multi-chip decode: one jitted sample program, batch sharded over the
-    # mesh, params replicated (the v5e-8 north-star path — BASELINE.md).
-    # The relation task's host-orchestrated retry loop stays single-chip.
+    # multi-chip decode: one jitted per-row sample program, batch sharded
+    # over the mesh, params replicated (the v5e-8 north-star path —
+    # BASELINE.md).  build_mesh_sampler dispatches per family: AR decode
+    # scan, the relation retry decode, MaskGIT's mask-predict loop, the
+    # diffusion scan, GAN/ICVT forwards and the retriever top-1.
     mesh_sampler = None
-    from ralf_tpu.models.autoreg import AutoregGenerator
-
-    is_ar = isinstance(gen, AutoregGenerator)
     want_mesh = args.mesh == "on" or (
         args.mesh == "auto" and len(jax.devices()) > 1
     )
-    if want_mesh and is_ar and args.cond != "relation":
-        from ralf_tpu.parallel.decode import MeshSampler, make_decode_mesh
+    if want_mesh:
+        from ralf_tpu.parallel.decode import make_decode_mesh
+        from ralf_tpu.parallel.zoo import build_mesh_sampler
 
-        mesh_sampler = MeshSampler(
-            gen, make_decode_mesh(), sampling,
+        mesh_sampler = build_mesh_sampler(
+            gen, make_decode_mesh(), sampling, task=args.cond,
             kv_quant=args.kv_quant, self_quant=args.self_quant,
+            use_backtrack=not args.no_backtrack,
+            max_retries=args.max_retries,
         )
-        logging.info("mesh decode over %d device(s), %d batch shard(s)",
+        logging.info("mesh inference (%s) over %d device(s), %d batch "
+                     "shard(s)", type(mesh_sampler).__name__,
                      len(jax.devices()), mesh_sampler.num_shards)
 
     for seed in range(num_seeds):
@@ -287,7 +290,10 @@ def main() -> None:
                     violations["total"] += v["total"]
                     violations["viorated"] += v["viorated"]
             else:
-                layout = gen.sample(variables, batch, rng)
+                if mesh_sampler is not None:
+                    layout = mesh_sampler.sample(variables, batch, rng)
+                else:
+                    layout = gen.sample(variables, batch, rng)
                 jax.block_until_ready(layout.label)
             t_total += time.perf_counter() - t0
             n_total += np.asarray(layout.label).shape[0]

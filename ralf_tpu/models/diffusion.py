@@ -709,6 +709,33 @@ class LayoutDMGenerator:
                refine_lambda: float = 3.0, refine_mode: str = "uniform",
                refine_offset_ratio: float = 0.2,
                relation_lambda: float = 1.0, relation_num_update: int = 3):
+        """Host prepare + one device scan.  Split into `prepare_sample`
+        (host-side conditioning tensors) and `sample_prepared` (pure
+        jittable program) so the mesh path (parallel/zoo) can shard the
+        device program's batch without duplicating any semantics."""
+        prepared, ts, skips = self.prepare_sample(
+            cond, key,
+            num_timesteps_eval=num_timesteps_eval,
+            refine_lambda=refine_lambda, refine_mode=refine_mode,
+            refine_offset_ratio=refine_offset_ratio,
+        )
+        seq = self.sample_prepared(
+            variables, prepared, ts, skips, sampling, key,
+            relation_lambda=relation_lambda,
+            relation_num_update=relation_num_update,
+        )
+        layout = self.tokenizer.decode(seq)
+        return (layout, seq) if return_tokens else layout
+
+    def prepare_sample(self, cond: Condition, key: jax.Array,
+                       num_timesteps_eval: Optional[int] = None,
+                       refine_lambda: float = 3.0, refine_mode: str = "uniform",
+                       refine_offset_ratio: float = 0.2):
+        """Host side of sampling: the skip-step schedule plus every
+        conditioning tensor the device scan consumes, as a dict of
+        batch-leading arrays (absent conditioning = absent key).  The
+        use_seq_dist element-count draw is host RNG derived from `key`,
+        so (key, shapes) fully determine the device program's output."""
         tok = self.tokenizer
         V, L = tok.N_total, tok.max_token_length
         B = np.asarray(cond.image).shape[0]
@@ -771,8 +798,45 @@ class LayoutDMGenerator:
             retrieved = {k: jnp.asarray(np.asarray(cond.retrieved[k])) for k in
                          ("label", "center_x", "center_y", "width", "height",
                           "mask")}
+
+        prepared = {"image": jnp.asarray(cond.image), "z0": z0}
+        if strong_seq is not None:
+            prepared["strong_seq"] = strong_seq
+            prepared["strong_mask"] = strong_mask
+        if weak_logits is not None:
+            prepared["weak_logits"] = weak_logits
+            prepared["weak_mask"] = weak_mask
+        if pad_disable is not None:
+            prepared["pad_disable"] = pad_disable
+        if relation_edges is not None:
+            prepared["edge_indexes"] = relation_edges[0]
+            prepared["edge_attributes"] = relation_edges[1]
+        if retrieved is not None:
+            prepared["retrieved"] = retrieved
+        return prepared, ts, skips
+
+    def sample_prepared(self, variables, prepared: dict, ts, skips,
+                        sampling: SamplingConfig, key: jax.Array,
+                        relation_lambda: float = 1.0,
+                        relation_num_update: int = 3) -> jax.Array:
+        """Pure device program: encode + the skip-step denoising scan.
+        Every input is batch-leading except (variables, ts, skips, key) —
+        exactly the replication/sharding split the mesh path needs."""
+        B = prepared["image"].shape[0]
+        z0 = prepared["z0"]
+        strong_seq = prepared.get("strong_seq")
+        strong_mask = prepared.get("strong_mask")
+        weak_logits = prepared.get("weak_logits")
+        weak_mask = prepared.get("weak_mask")
+        pad_disable = prepared.get("pad_disable")
+        relation_edges = None
+        if "edge_indexes" in prepared:
+            relation_edges = (prepared["edge_indexes"],
+                              prepared["edge_attributes"])
+        retrieved = prepared.get("retrieved")
+
         memory = self.core.apply(
-            variables, jnp.asarray(cond.image), retrieved, False,
+            variables, prepared["image"], retrieved, False,
             method=LayoutDMCore.encode_memory,
         )
         dec_vars = {"params": variables["params"]["decoder"]}
@@ -795,9 +859,7 @@ class LayoutDMGenerator:
         (log_z, _), _ = jax.lax.scan(
             step, (z0, key), (jnp.asarray(ts), jnp.asarray(skips))
         )
-        seq = log_onehot_to_index(log_z)
-        layout = tok.decode(seq)
-        return (layout, seq) if return_tokens else layout
+        return log_onehot_to_index(log_z)
 
     def _refinement_weak_logits(self, cond: Condition, lam: float, mode: str,
                                 offset_ratio: float):

@@ -125,6 +125,54 @@ class VGG16Features(nn.Module):
 
 
 # --------------------------------------------------------------------------
+# AlexNet LPIPS tap tower (lpips package `pretrained_networks.alexnet`)
+# --------------------------------------------------------------------------
+
+# lpips.ScalingLayer constants (`lpips/lpips.py`): applied to [-1, 1] input
+LPIPS_SHIFT = (-0.030, -0.088, -0.188)
+LPIPS_SCALE = (0.458, 0.448, 0.450)
+
+# torchvision alexnet `features` plan: (out_ch, kernel, stride, padding);
+# "M" = MaxPool(3, 2).  Indices mirror the torchvision state_dict
+# (`features.{i}.weight`), so the converter is a pure rename.
+_ALEXNET_PLAN = ((64, 11, 4, 2), "M", (192, 5, 1, 2), "M",
+                 (384, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1), "M")
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision `alexnet.features` as the 5-tap LPIPS tower — the net
+    the reference's exact LPIPS tables use
+    (`preprocess/build_retrieval_indexes_LPIPS.py:99`: `CacheLPIPS(
+    net="alex")`; slices per `lpips/pretrained_networks.py alexnet`).
+
+    Input: [B, H, W, 3] ALREADY passed through 2x-1 and the lpips scaling
+    layer (see `retrieval.lpips.lpips_scale`).  Returns the 5 post-ReLU
+    taps (channels 64/192/384/256/256).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        h = x.astype(self.dtype)
+        taps = []
+        i = 0
+        for spec in _ALEXNET_PLAN:
+            if spec == "M":
+                h = nn.max_pool(h, (3, 3), strides=(2, 2))
+                i += 1
+            else:
+                ch, k, s, p = spec
+                h = nn.relu(
+                    nn.Conv(ch, (k, k), strides=(s, s), padding=p,
+                            dtype=self.dtype, name=f"features_{i}")(h)
+                )
+                taps.append(h)
+                i += 2  # conv + relu occupy two torchvision indices
+        return taps
+
+
+# --------------------------------------------------------------------------
 # InceptionV3 (timm inception_v3 layout)
 # --------------------------------------------------------------------------
 

@@ -59,27 +59,18 @@ def assert_clean_decode_hlo(compiled) -> None:
             f"sharded decode program contains a host sync ({op})")
 
 
-class MeshSampler:
-    """One jitted sample program (encode + constrained decode scan) sharded
-    over a mesh's batch axes; params replicated.
+class MeshProgram:
+    """Shared plumbing for every mesh-sharded inference program: batch /
+    replicated shardings, shard-count bookkeeping, and row padding.
 
-    Drives the AR family (Autoreg/RALF and fusion variants): anything whose
-    generator exposes `core.encode_memory` + `decode` (the KV-cached scan in
-    `ops/decode_loop.ar_decode`).  The relation task's retrying decoder is
-    host-orchestrated per retry round and stays on the single-chip path
-    (`cli/inference.py`); all other tasks ride this.
-
-    Determinism contract: same (key, padded batch shape) => bit-identical
-    tokens on ANY mesh, 1 chip or 8 — asserted in dryrun_multichip.
+    Determinism contract (all subclasses): same (key, padded batch shape)
+    => bit-identical outputs on ANY mesh, 1 chip or 8 — jax's threefry
+    PRNG is counter-based and partitionable, so in-program sampling is
+    shard-invariant.  Asserted in dryrun_multichip and tests/test_mesh_zoo.
     """
 
-    def __init__(self, gen, mesh, sampling: SamplingConfig, *,
-                 kv_quant: bool = False, self_quant: bool = False) -> None:
-        self.gen = gen
+    def __init__(self, mesh) -> None:
         self.mesh = mesh
-        self.sampling = sampling
-        self.kv_quant = kv_quant
-        self.self_quant = self_quant
         self.batch_sh = batch_sharding(mesh)
         self.rep = replicated(mesh)
         # total batch shards = product of mesh axis sizes named in the
@@ -87,6 +78,46 @@ class MeshSampler:
         spec = self.batch_sh.spec[0]
         axes = (spec,) if isinstance(spec, str) else tuple(spec)
         self.num_shards = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def _rows(self, B: int) -> int:
+        return -(-B // self.num_shards) * self.num_shards
+
+    def _pad(self, a: np.ndarray, rows: int) -> np.ndarray:
+        """Pad the batch axis to `rows` by repeating the last row.  Padding
+        changes the batch shape, hence any in-program PRNG draws, so
+        fixed-seed reproducibility is per (seed, padded-shape) — same
+        contract as the reference's per-batch-size determinism."""
+        a = np.asarray(a)
+        B = a.shape[0]
+        if B == rows:
+            return a
+        reps = np.repeat(a[-1:], rows - B, axis=0)
+        return np.concatenate([a, reps], axis=0)
+
+    def _pad_tree(self, tree, rows: int):
+        import jax
+
+        return jax.tree.map(lambda a: self._pad(a, rows), tree)
+
+
+class MeshSampler(MeshProgram):
+    """One jitted sample program (encode + constrained decode scan) sharded
+    over a mesh's batch axes; params replicated.
+
+    Drives the AR family (Autoreg/RALF and fusion variants): anything whose
+    generator exposes `core.encode_memory` + `decode` (the KV-cached scan in
+    `ops/decode_loop.ar_decode`).  The relation task rides
+    `parallel/zoo.RelationMeshSampler` (the retry loop is itself one jitted
+    scan — ops/relation_decode); every other task rides this.
+    """
+
+    def __init__(self, gen, mesh, sampling: SamplingConfig, *,
+                 kv_quant: bool = False, self_quant: bool = False) -> None:
+        super().__init__(mesh)
+        self.gen = gen
+        self.sampling = sampling
+        self.kv_quant = kv_quant
+        self.self_quant = self_quant
         self._is_ralf = hasattr(gen, "_retrieved_arrays")
         self._fn = self._build()
 
@@ -118,27 +149,14 @@ class MeshSampler:
 
     # -- shape plumbing ------------------------------------------------------
 
-    def _pad(self, a: np.ndarray, rows: int) -> np.ndarray:
-        B = a.shape[0]
-        if B == rows:
-            return a
-        reps = np.repeat(a[-1:], rows - B, axis=0)
-        return np.concatenate([a, reps], axis=0)
-
     def sample_tokens(self, variables, cond, key) -> np.ndarray:
-        """Condition -> sampled token ids [B, L] (padding rows stripped).
-
-        Rows are padded up to a multiple of the shard count by repeating
-        the last row; padding changes the batch shape, hence the PRNG
-        draws, so fixed-seed reproducibility is per (seed, padded-shape) —
-        same contract as the reference's per-batch-size determinism.
-        """
+        """Condition -> sampled token ids [B, L] (padding rows stripped)."""
         from ralf_tpu.core.conditioning import build_forced_tokens
 
         gen = self.gen
         forced = np.asarray(build_forced_tokens(cond, gen.tokenizer))
         B = forced.shape[0]
-        rows = -(-B // self.num_shards) * self.num_shards
+        rows = self._rows(B)
         image = self._pad(np.asarray(cond.image), rows)
         const_seq = self._pad(np.asarray(cond.const_seq), rows)
         const_keep = self._pad(np.asarray(cond.const_mask), rows)
@@ -169,7 +187,7 @@ class MeshSampler:
         gen = self.gen
         forced = np.asarray(build_forced_tokens(cond, gen.tokenizer))
         B = forced.shape[0]
-        rows = -(-B // self.num_shards) * self.num_shards
+        rows = self._rows(B)
         image = self._pad(np.asarray(cond.image), rows)
         const_seq = self._pad(np.asarray(cond.const_seq), rows)
         const_keep = self._pad(np.asarray(cond.const_mask), rows)

@@ -1,0 +1,521 @@
+"""Mesh-sharded inference for the ENTIRE model zoo (VERDICT r3 #1).
+
+`parallel/decode.MeshSampler` covers the AR family's non-relation tasks;
+this module extends the same treatment — one jitted per-row sample
+program, batch sharded over the mesh's batch axes, params + PRNG key
+replicated, zero collectives / host syncs in the compiled HLO — to every
+other family the reference serves through its per-job "ms per sample"
+inference contract (`image2layout/train/inference.py:371,441-443,495`):
+
+  * RelationMeshSampler — AR relation task: the backtracking retry decoder
+    (`ops/relation_decode.relation_aware_decode`) is already ONE jitted
+    scan whose every op is per-row (candidate attempts, clause counting,
+    cache selection), so it shards exactly like the plain decode scan.
+  * MaskGITMeshSampler — the fixed-T iterative refinement loop
+    (`models/maskgit._sample_jit`): per-row confidences/top-k re-masking.
+  * DiffusionMeshSampler — LayoutDM / VQDiffusion / RA variants: host
+    `prepare_sample` + the per-row denoising scan `sample_prepared`.
+  * GANMeshSampler — CGL-GAN / DS-GAN: host preprocess (random init +
+    task conditioning) + one generator forward.
+  * ICVTMeshSampler — the fixed-shape AR argmax loop, unrolled under one
+    jit (S static), deterministic given the host-drawn latent z.
+  * RetrieverMeshSampler — the top-1 copy baseline: batch-sharded query
+    embed + exact top-1 against the REPLICATED gallery features (the
+    gallery feature table is small — [N, D] floats — so replication beats
+    a gallery shard whose reduce would need an all-gather and void the
+    clean-HLO contract; gallery sharding remains available for training
+    table builds via `retrieval.sharded_topk`).
+
+Every sampler asserts its compiled HLO is collective- and host-sync-free
+(`decode.assert_clean_decode_hlo`), the property the n_chips x per-chip
+scaling projection rests on, and `build_mesh_sampler` is the one dispatch
+point `cli/inference.py` uses for every experiment preset.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from ralf_tpu.core.sampling import SamplingConfig
+from ralf_tpu.parallel.decode import (
+    MeshProgram,
+    MeshSampler,
+    assert_clean_decode_hlo,
+    make_decode_mesh,
+)
+
+__all__ = [
+    "RelationMeshSampler",
+    "MaskGITMeshSampler",
+    "DiffusionMeshSampler",
+    "GANMeshSampler",
+    "ICVTMeshSampler",
+    "RetrieverMeshSampler",
+    "build_mesh_sampler",
+    "make_decode_mesh",
+]
+
+
+class RelationMeshSampler(MeshSampler):
+    """AR-family relation task: encode + the batched backtracking decode
+    (`ops/relation_decode`) as one sharded program.
+
+    The reference's relation path is a per-sample host automaton
+    (`models/layoutformerpp/relation_restriction.py`); the rebuild's retry
+    loop is a jitted scan over elements with a fori_loop of candidate
+    attempts — all per-row, so batch sharding is exact.
+    """
+
+    def __init__(self, gen, mesh, sampling: SamplingConfig, *,
+                 kv_quant: bool = False, self_quant: bool = False,
+                 max_retries: int = 4) -> None:
+        self.max_retries = max_retries
+        super().__init__(gen, mesh, sampling,
+                         kv_quant=kv_quant, self_quant=self_quant)
+
+    def _build(self):
+        import jax
+
+        from ralf_tpu.ops.relation_decode import relation_aware_decode
+
+        gen = self.gen
+        core_cls = type(gen.core)
+        is_ralf = self._is_ralf
+        sampling, kv_quant, self_quant = (
+            self.sampling, self.kv_quant, self.self_quant)
+        max_retries = self.max_retries
+
+        def fn(variables, image, const_seq, const_keep, retrieved, forced,
+               tensors, key):
+            if is_ralf:
+                memory = gen.core.apply(
+                    variables, image, retrieved, const_seq, const_keep, False,
+                    method=core_cls.encode_memory)
+            else:
+                memory = gen.core.apply(
+                    variables, image, const_seq, const_keep, False,
+                    method=core_cls.encode_memory)
+            dec_vars = {"params": variables["params"]["decoder"]}
+            return relation_aware_decode(
+                gen.decoder_module, dec_vars, memory, gen.tokenizer,
+                forced, tensors, sampling, key, max_retries=max_retries,
+                kv_quant=kv_quant, self_quant=self_quant,
+            )
+
+        b, r = self.batch_sh, self.rep
+        return jax.jit(
+            fn,
+            in_shardings=(r, b, b, b, b, b, b, r),
+            out_shardings=b,
+        )
+
+    def _prepare(self, cond):
+        from ralf_tpu.core.conditioning import build_forced_tokens
+        from ralf_tpu.ops.relation_decode import build_relation_tensors
+
+        gen = self.gen
+        forced = np.asarray(build_forced_tokens(cond, gen.tokenizer))
+        B = forced.shape[0]
+        rows = self._rows(B)
+        tensors = self._pad_tree(
+            {k: np.asarray(v) for k, v in build_relation_tensors(
+                cond, gen.tokenizer.max_seq_length).items()},
+            rows,
+        )
+        args = dict(
+            image=self._pad(cond.image, rows),
+            const_seq=self._pad(cond.const_seq, rows),
+            const_keep=self._pad(cond.const_mask, rows),
+            forced=self._pad(forced, rows),
+            tensors=tensors,
+            retrieved={},
+        )
+        if self._is_ralf:
+            args["retrieved"] = self._pad_tree(
+                gen._retrieved_arrays(cond.retrieved), rows)
+        return args, B
+
+    def sample_tokens(self, variables, cond, key) -> np.ndarray:
+        a, B = self._prepare(cond)
+        with self.mesh:
+            toks = self._fn(variables, a["image"], a["const_seq"],
+                            a["const_keep"], a["retrieved"], a["forced"],
+                            a["tensors"], key)
+        return np.asarray(toks)[:B]
+
+    def compile_and_verify(self, variables, cond, key) -> Any:
+        a, _ = self._prepare(cond)
+        with self.mesh:
+            compiled = self._fn.lower(
+                variables, a["image"], a["const_seq"], a["const_keep"],
+                a["retrieved"], a["forced"], a["tensors"], key,
+            ).compile()
+        assert_clean_decode_hlo(compiled)
+        return compiled
+
+
+class MaskGITMeshSampler(MeshProgram):
+    """MaskGIT's fixed-T mask-predict loop, batch-sharded.
+
+    `models/maskgit._sample_jit` is already a pure function of
+    (variables, image, seq_user, known_user, key) given static
+    (sampling, T_steps, element_num_known); jitting it over the mesh with
+    those statics closed over is the whole job.
+    """
+
+    def __init__(self, gen, mesh, sampling: SamplingConfig, *,
+                 num_timesteps: Optional[int] = None) -> None:
+        super().__init__(mesh)
+        self.gen = gen
+        self.sampling = sampling
+        self.num_timesteps = num_timesteps or gen.num_timesteps
+        self._fns = {}  # keyed by element_num_known
+
+    def _fn(self, element_num_known: bool):
+        import jax
+
+        if element_num_known not in self._fns:
+            gen, sampling, T = self.gen, self.sampling, self.num_timesteps
+
+            def fn(variables, image, seq_user, known_user, key):
+                return gen._sample_jit(variables, image, seq_user, known_user,
+                                       sampling, key, T, element_num_known)
+
+            b, r = self.batch_sh, self.rep
+            self._fns[element_num_known] = jax.jit(
+                fn, in_shardings=(r, b, b, b, r), out_shardings=b)
+        return self._fns[element_num_known]
+
+    def _prepare(self, cond):
+        import jax.numpy as jnp
+
+        from ralf_tpu.core.conditioning import normalize_task
+
+        gen = self.gen
+        tok = gen.tokenizer
+        L = tok.max_token_length
+        B = np.asarray(cond.image).shape[0]
+        rows = self._rows(B)
+        task = normalize_task(cond.task)
+        if cond.seq is not None:
+            seq_user = np.asarray(cond.seq, np.int32)
+            known_user = np.asarray(cond.seq_mask, bool)
+        else:
+            seq_user = np.full((B, L), gen.pad_id, np.int32)
+            known_user = np.zeros((B, L), bool)
+        return (
+            jnp.asarray(self._pad(cond.image, rows)),
+            jnp.asarray(self._pad(seq_user, rows)),
+            jnp.asarray(self._pad(known_user, rows)),
+            task in ("c", "cwh", "refinement"),
+            B,
+        )
+
+    def sample(self, variables, cond, key, return_tokens: bool = False):
+        image, seq_user, known_user, enk, B = self._prepare(cond)
+        with self.mesh:
+            seq = self._fn(enk)(variables, image, seq_user, known_user, key)
+        seq = np.asarray(seq)[:B]
+        layout = self.gen.tokenizer.decode(seq)
+        return (layout, seq) if return_tokens else layout
+
+    def compile_and_verify(self, variables, cond, key) -> Any:
+        image, seq_user, known_user, enk, _ = self._prepare(cond)
+        with self.mesh:
+            compiled = self._fn(enk).lower(
+                variables, image, seq_user, known_user, key).compile()
+        assert_clean_decode_hlo(compiled)
+        return compiled
+
+
+class DiffusionMeshSampler(MeshProgram):
+    """LayoutDM / VQDiffusion (+ RA variants): host `prepare_sample`, then
+    the per-row denoising scan `sample_prepared` sharded over the mesh.
+
+    The jitted callable retraces automatically per conditioning-presence
+    pattern (which optional tensors a task supplies) — each pattern is one
+    compiled program, same as the single-chip path.
+    """
+
+    def __init__(self, gen, mesh, sampling: SamplingConfig, *,
+                 num_timesteps_eval: Optional[int] = None,
+                 relation_lambda: float = 1.0,
+                 relation_num_update: int = 3) -> None:
+        super().__init__(mesh)
+        self.gen = gen
+        self.sampling = sampling
+        self.num_timesteps_eval = num_timesteps_eval
+        self.relation_lambda = relation_lambda
+        self.relation_num_update = relation_num_update
+        self._jitted = None
+
+    def _fn(self):
+        import jax
+
+        if self._jitted is None:
+            gen, sampling = self.gen, self.sampling
+            rl, rnu = self.relation_lambda, self.relation_num_update
+
+            def fn(variables, prepared, ts, skips, key):
+                return gen.sample_prepared(variables, prepared, ts, skips,
+                                           sampling, key,
+                                           relation_lambda=rl,
+                                           relation_num_update=rnu)
+
+            b, r = self.batch_sh, self.rep
+            self._jitted = jax.jit(
+                fn, in_shardings=(r, b, r, r, r), out_shardings=b)
+        return self._jitted
+
+    def _prepare(self, cond, key):
+        B = np.asarray(cond.image).shape[0]
+        rows = self._rows(B)
+        prepared, ts, skips = self.gen.prepare_sample(
+            cond, key, num_timesteps_eval=self.num_timesteps_eval)
+        prepared = self._pad_tree(
+            {k: np.asarray(v) if not isinstance(v, dict) else v
+             for k, v in prepared.items()},
+            rows,
+        )
+        return prepared, ts, skips, B
+
+    def sample(self, variables, cond, key, return_tokens: bool = False):
+        prepared, ts, skips, B = self._prepare(cond, key)
+        with self.mesh:
+            seq = self._fn()(variables, prepared, ts, skips, key)
+        seq = np.asarray(seq)[:B]
+        layout = self.gen.tokenizer.decode(seq)
+        return (layout, seq) if return_tokens else layout
+
+    def compile_and_verify(self, variables, cond, key) -> Any:
+        prepared, ts, skips, _ = self._prepare(cond, key)
+        with self.mesh:
+            compiled = self._fn().lower(
+                variables, prepared, ts, skips, key).compile()
+        assert_clean_decode_hlo(compiled)
+        return compiled
+
+
+class GANMeshSampler(MeshProgram):
+    """CGL-GAN / DS-GAN: all randomness (random init layout, task
+    conditioning, element shuffles) is host-side in `preprocess`; the
+    device program is ONE generator forward — trivially per-row."""
+
+    def __init__(self, gen, mesh) -> None:
+        super().__init__(mesh)
+        self.gen = gen
+        self._jitted = None
+
+    def _fn(self):
+        import jax
+
+        if self._jitted is None:
+            gen = self.gen
+
+            def fn(variables, inputs):
+                (logits, boxes), _ = gen._forward(variables, inputs, False)
+                return logits, boxes
+
+            b, r = self.batch_sh, self.rep
+            self._jitted = jax.jit(
+                fn, in_shardings=(r, b), out_shardings=b)
+        return self._jitted
+
+    def _prepare(self, cond_batch: dict, rng: np.random.Generator):
+        inputs, _ = self.gen.preprocess(cond_batch, rng)
+        B = inputs["image"].shape[0]
+        return self._pad_tree(inputs, self._rows(B)), B
+
+    def sample(self, variables, cond_batch: dict, rng: np.random.Generator,
+               key=None):
+        from ralf_tpu.models.gan_common import unpack_outputs
+
+        inputs, B = self._prepare(cond_batch, rng)
+        with self.mesh:
+            logits, boxes = self._fn()(variables, inputs)
+        layout = unpack_outputs(np.asarray(logits)[:B],
+                                np.asarray(boxes)[:B], self.gen.K)
+        return layout
+
+    def compile_and_verify(self, variables, cond_batch: dict,
+                           rng: np.random.Generator) -> Any:
+        inputs, _ = self._prepare(cond_batch, rng)
+        with self.mesh:
+            compiled = self._fn().lower(variables, inputs).compile()
+        assert_clean_decode_hlo(compiled)
+        return compiled
+
+
+class ICVTMeshSampler(MeshProgram):
+    """ICVT's fixed-shape AR argmax loop under one jit (S static steps
+    unrolled); the VAE latent z is drawn host-side from the replicated
+    key, exactly mirroring the single-chip `ICVTGenerator.sample`, so a
+    shared (key, padded shape) gives bit-identical ids on any mesh."""
+
+    def __init__(self, gen, mesh) -> None:
+        super().__init__(mesh)
+        self.gen = gen
+        self._jitted = None
+
+    def _fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        if self._jitted is None:
+            gen = self.gen
+            from ralf_tpu.models.icvt import GEO_KEYS, ICVTCore
+
+            S, d = gen.S, gen.cfg.d_model
+            keys = ("label", *GEO_KEYS)
+
+            def fn(variables, image, z):
+                B = image.shape[0]
+                img_memory = gen.core.apply(
+                    variables, image, method=ICVTCore.encode_image)
+                ga_k = gen.core.apply(variables, B,
+                                      method=ICVTCore.ga_key_grid)
+                ids = {k: jnp.zeros((B, S), jnp.int32) for k in keys}
+                tgt = jnp.zeros((B, 1 + S, d), z.dtype).at[:, :1].set(z)
+                for i in range(S):
+                    out = gen.core.apply(
+                        variables, tgt[:, :-1], img_memory, ga_k,
+                        method=ICVTCore.decode_step_stack)
+                    for k in keys:
+                        ids[k] = ids[k].at[:, i].set(
+                            jnp.argmax(out[k][:, i], -1))
+                    emb = gen.core.apply(
+                        variables, {k: ids[k][:, i:i + 1] for k in keys},
+                        method=ICVTCore.embed_layout)
+                    tgt = tgt.at[:, i + 1].set(emb[:, 0])
+                return ids
+
+            b, r = self.batch_sh, self.rep
+            self._jitted = jax.jit(
+                fn, in_shardings=(r, b, b), out_shardings=b)
+        return self._jitted
+
+    def _prepare(self, cond_batch: dict, rng, key):
+        import jax
+
+        gen = self.gen
+        image = np.asarray(cond_batch["image"])
+        B = image.shape[0]
+        rows = self._rows(B)
+        if key is None:
+            key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        # mirror ICVTGenerator.sample's derivation: z at the PADDED batch
+        # shape so every shard count with the same padded rows agrees
+        key, sub = jax.random.split(key)
+        z = jax.random.normal(sub, (rows, 1, gen.cfg.d_model))
+        return self._pad(image, rows), np.asarray(z), B
+
+    def sample(self, variables, cond_batch: dict, rng: np.random.Generator,
+               key=None):
+        image, z, B = self._prepare(cond_batch, rng, key)
+        with self.mesh:
+            ids = self._fn()(variables, image, z)
+        ids = {k: np.asarray(v)[:B] for k, v in ids.items()}
+        return self.gen.icvt_tokenizer.decode(ids)
+
+    def compile_and_verify(self, variables, cond_batch: dict,
+                           rng: np.random.Generator, key=None) -> Any:
+        image, z, _ = self._prepare(cond_batch, rng, key)
+        with self.mesh:
+            compiled = self._fn().lower(variables, image, z).compile()
+        assert_clean_decode_hlo(compiled)
+        return compiled
+
+
+class RetrieverMeshSampler(MeshProgram):
+    """Top-1 copy baseline: batch-sharded embed + exact top-1 against the
+    replicated gallery feature table; the layout gather stays host-side
+    (a [B] fancy-index into the numpy gallery)."""
+
+    def __init__(self, gen, mesh) -> None:
+        super().__init__(mesh)
+        self.gen = gen
+        self._jitted = None
+
+    def _fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        if self._jitted is None:
+            backbone = self.gen.retriever.backbone
+
+            def fn(image, gallery):
+                # top-1 via argmax, not lax.top_k: XLA's TopK custom-call is
+                # not batch-partitionable (the SPMD partitioner all-gathers
+                # the score matrix around it), while the argmax reduce
+                # shards per-row.  Exact same winner as exact_topk(k=1).
+                q = backbone(image)
+                scores = jnp.dot(q, gallery.T,
+                                 preferred_element_type=jnp.float32)
+                return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+            b, r = self.batch_sh, self.rep
+            self._jitted = jax.jit(
+                fn, in_shardings=(b, r), out_shardings=b)
+        return self._jitted
+
+    def sample(self, variables, cond_batch: dict, rng=None, key=None):
+        from ralf_tpu.core.layout import Layout
+
+        r = self.gen.retriever
+        image = np.asarray(cond_batch["image"])
+        B = image.shape[0]
+        image = self._pad(image, self._rows(B))
+        with self.mesh:
+            idx = np.asarray(self._fn()(image, r.features))[:B]
+        return Layout.fromdict({k: v[idx] for k, v in r.layouts.items()})
+
+    def compile_and_verify(self, variables, cond_batch: dict,
+                           rng=None) -> Any:
+        r = self.gen.retriever
+        image = np.asarray(cond_batch["image"])
+        image = self._pad(image, self._rows(image.shape[0]))
+        with self.mesh:
+            compiled = self._fn().lower(image, r.features).compile()
+        assert_clean_decode_hlo(compiled)
+        return compiled
+
+
+def build_mesh_sampler(gen, mesh, sampling: Optional[SamplingConfig], *,
+                       task: str = "uncond", kv_quant: bool = False,
+                       self_quant: bool = False, use_backtrack: bool = True,
+                       max_retries: int = 4):
+    """One dispatch point for `cli/inference.py --mesh`: returns the
+    family-appropriate mesh sampler for ANY experiment preset, or raises
+    for a generator type it does not know (nothing silently falls back).
+
+    AR + relation + backtracking rides RelationMeshSampler; AR otherwise
+    (including relation with --no-backtrack, which is plain forced
+    decoding) rides MeshSampler.
+    """
+    from ralf_tpu.models.autoreg import AutoregGenerator
+    from ralf_tpu.models.cgl_gan import CGLGANGenerator
+    from ralf_tpu.models.diffusion import LayoutDMGenerator
+    from ralf_tpu.models.icvt import ICVTGenerator
+    from ralf_tpu.models.maskgit import MaskGITGenerator
+    from ralf_tpu.models.retriever_baseline import RetrieverGenerator
+
+    if isinstance(gen, AutoregGenerator):
+        if task == "relation" and use_backtrack:
+            return RelationMeshSampler(
+                gen, mesh, sampling, kv_quant=kv_quant,
+                self_quant=self_quant, max_retries=max_retries)
+        return MeshSampler(gen, mesh, sampling,
+                           kv_quant=kv_quant, self_quant=self_quant)
+    if isinstance(gen, MaskGITGenerator):
+        return MaskGITMeshSampler(gen, mesh, sampling)
+    if isinstance(gen, LayoutDMGenerator):
+        return DiffusionMeshSampler(gen, mesh, sampling)
+    if isinstance(gen, CGLGANGenerator):  # DS-GAN subclasses CGL
+        return GANMeshSampler(gen, mesh)
+    if isinstance(gen, ICVTGenerator):
+        return ICVTMeshSampler(gen, mesh)
+    if isinstance(gen, RetrieverGenerator):
+        return RetrieverMeshSampler(gen, mesh)
+    raise TypeError(f"no mesh sampler for generator type {type(gen).__name__}")

@@ -33,6 +33,15 @@ class GANTrainer(Trainer):
         self.warmup_dis_epoch = warmup_dis_epoch
         self.tx_dis: Optional[optax.GradientTransformation] = None
         self._dis_step = None
+        # the reference builds a SECOND scheduler instance for the
+        # discriminator with network="discriminator" (`train.py:236-248`,
+        # `schedulers/dsgan.py:21-25`: 25-epoch stair vs the generator's 50)
+        from ralf_tpu.train.schedulers import build_scheduler
+
+        self.scheduler_dis = build_scheduler(
+            cfg.scheduler, cfg.epochs,
+            **{**cfg.scheduler_kwargs, "network": "discriminator"},
+        )
 
     def init_states(self, key: jax.Array) -> tuple[TrainState, TrainState]:
         kg, kd = jax.random.split(key)
@@ -114,6 +123,17 @@ class GANTrainer(Trainer):
             state, dis_state = self.init_states(sub)
         self._build_gan_steps()
         rng = np.random.default_rng(cfg.seed)
+        from ralf_tpu.train.optim import set_learning_rate
+
+        lr_dis = cfg.lr * getattr(self.gen, "LR_MULT_DIS", 10.0)
+        # torch schedulers apply one step at construction: with DS-GAN's
+        # milestone-0 stair both nets start BELOW base LR (scale(0)=gamma)
+        if (gs := self.scheduler.scale(0)) != 1.0:
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, cfg.lr * gs))
+        if (ds := self.scheduler_dis.scale(0)) != 1.0:
+            dis_state = dis_state.replace(
+                opt_state=set_learning_rate(dis_state.opt_state, lr_dis * ds))
 
         for epoch in range(1, cfg.epochs + 1):
             self.gen.update_per_epoch(epoch, self.warmup_dis_epoch, cfg.epochs)
@@ -129,6 +149,14 @@ class GANTrainer(Trainer):
                 dis_state, dm = self._dis_step(dis_state, state, inputs, targets, k2)
                 g_losses.append(gm["loss"])
                 d_losses.append(dm["loss_d"])
+            # per-epoch LR schedule for BOTH nets (`train.py:284-295`);
+            # scale(epoch) applies to epoch+1, matching torch's
+            # step-at-end-of-epoch semantics under 1-indexed epochs
+            state = state.replace(opt_state=set_learning_rate(
+                state.opt_state, cfg.lr * self.scheduler.scale(epoch)))
+            dis_state = dis_state.replace(opt_state=set_learning_rate(
+                dis_state.opt_state,
+                lr_dis * self.scheduler_dis.scale(epoch)))
             g_loss = float(jnp.mean(jnp.stack(g_losses)))
             d_loss = float(jnp.mean(jnp.stack(d_losses)))
             logger.info(

@@ -50,15 +50,31 @@ class MultiStepLRScheduler:
 
 
 class DSGANScheduler(MultiStepLRScheduler):
-    """Fixed stair: every 50 epochs (generator) / 25 (discriminator),
-    gamma 0.8, designed for 300-epoch DS-GAN runs."""
+    """DS-GAN's LR schedule — which, in the reference, is a CONSTANT.
+
+    The reference builds `milestones=torch.arange(0, epochs, interval)`
+    (`train/schedulers/dsgan.py:20-24`) and hands the raw TENSOR to
+    torch's MultiStepLR, whose epoch test is `last_epoch in
+    Counter(milestones)`: tensor hashing is identity-based, so an int
+    epoch never matches a tensor milestone and **no gamma is ever
+    applied** — verified against torch in
+    tests/test_optim_torch_parity.py::test_dsgan_stair_matches_torch.
+    The published DS-GAN runs therefore trained at a flat base LR for all
+    300 epochs, and that actual behavior is the default here.
+
+    `intended_stair=True` gives the stair the code was presumably aiming
+    for (gamma 0.8 every 50 generator / 25 discriminator epochs, with the
+    milestone-0 quirk that torch would apply one gamma from epoch 1).
+    """
 
     def __init__(self, epochs: int = 300, gamma: float = 0.8,
-                 network: str = "generator", **_):
+                 network: str = "generator", intended_stair: bool = False,
+                 **_):
         interval = 50 if network == "generator" else 25
-        super().__init__(
-            epochs, milestones=list(range(interval, epochs, interval)), gamma=gamma
+        milestones = (
+            list(range(0, epochs, interval)) if intended_stair else []
         )
+        super().__init__(epochs, milestones=milestones, gamma=gamma)
 
 
 class ReduceLROnPlateauScheduler:

@@ -219,6 +219,14 @@ class Trainer:
         best_val = float("inf")
         global_step = int(jax.device_get(state.step))
         last_save_t = time.time()
+        # torch schedulers apply `_initial_step` at construction, so epoch 1
+        # already runs at scale(0) — only ≠1 for milestone-0 stairs (DS-GAN)
+        init_scale = self.scheduler.scale(start_epoch - 1)
+        if init_scale != 1.0:
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state,
+                                            cfg.lr * init_scale)
+            )
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.time()
             losses = []

@@ -587,6 +587,55 @@ def port_vgg16(sd: dict) -> dict:
     return params
 
 
+def port_alexnet(sd: dict) -> dict:
+    """torchvision `alexnet` (or the lpips package's wrapped copy) ->
+    models.towers.AlexNetFeatures params.  Accepts either bare
+    `features.{i}.*` keys or the lpips LPIPS-state_dict prefix
+    `net.slice{k}.{i}.*` (`lpips/pretrained_networks.py alexnet`: slice1
+    holds features 0-1, slice2 2-4, slice3 5-7, slice4 8-9, slice5 10-11)."""
+    if not any(k.startswith("features.") for k in sd):
+        # lpips saves the tower re-sliced; rebuild the flat index space
+        slice_base = {"net.slice1.": 0, "net.slice2.": 2, "net.slice3.": 5,
+                      "net.slice4.": 8, "net.slice5.": 10}
+        flat = {}
+        for k, v in sd.items():
+            for pref, base in slice_base.items():
+                if k.startswith(pref):
+                    rest = k[len(pref):]
+                    i, leaf = rest.split(".", 1)
+                    flat[f"features.{base + int(i)}.{leaf}"] = v
+        sd = flat
+    return {
+        f"features_{i}": {
+            "kernel": sd[f"features.{i}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"features.{i}.bias"],
+        }
+        for i in (0, 3, 6, 8, 10)
+    }
+
+
+def port_lpips_lins(sd: dict, num_taps: int = 5) -> list:
+    """The lpips package's learned per-channel linear heads -> a list of
+    [C] weight vectors for `retrieval.lpips.lpips_from_taps`'s
+    `channel_weights` hook.
+
+    NetLinLayer is Dropout + Conv2d(C, 1, 1, bias=False)
+    (`lpips/lpips.py NetLinLayer`), so each head is exactly a per-channel
+    weight [1, C, 1, 1].  Accepts both historical key spellings
+    (`lin{k}.model.1.weight` and `lins.{k}.model.1.weight`)."""
+    out = []
+    for k in range(num_taps):
+        for key in (f"lin{k}.model.1.weight", f"lins.{k}.model.1.weight"):
+            if key in sd:
+                w = np.asarray(sd[key])
+                assert w.ndim == 4 and w.shape[0] == 1, w.shape
+                out.append(w.reshape(-1))
+                break
+        else:
+            raise KeyError(f"lpips lins head {k} not found in state_dict")
+    return out
+
+
 def _basic_conv(sd: dict, prefix: str) -> tuple[dict, dict]:
     """timm BasicConv2d (conv + BN eps=1e-3) -> towers.BasicConv."""
     params = {
@@ -698,4 +747,9 @@ def load_tower_if_available(path: str, kind: str):
         return port_vit_b16(sd)
     if kind == "dreamsim":
         return port_dreamsim(sd)
+    if kind == "alexnet":
+        return port_alexnet(sd)
+    if kind == "lpips_alex":
+        # a full `lpips.LPIPS(net="alex")` state_dict: tower + learned lins
+        return port_alexnet(sd), port_lpips_lins(sd)
     raise ValueError(kind)

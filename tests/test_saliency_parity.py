@@ -14,6 +14,9 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# whole-module slow: multi-minute torch-twin builds + jit on CPU (r3 re-tier)
+pytestmark = pytest.mark.slow
+
 import ref_shims
 
 ref_shims.install()  # torchvision shim: basnet.py needs models.resnet34

@@ -13,6 +13,9 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# whole-module slow: multi-minute torch-twin builds + jit on CPU (r3 re-tier)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

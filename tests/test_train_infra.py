@@ -33,10 +33,17 @@ def test_schedulers():
     assert ms.scale(50) == 0.1
     assert ms.scale(95) == 0.01 - 0 or abs(ms.scale(95) - 0.01) < 1e-12
 
+    # reference-actual behavior: the tensor-milestones bug in
+    # `schedulers/dsgan.py:22` means torch never applies gamma — DS-GAN
+    # trains at constant LR (A/B'd in tests/test_optim_torch_parity.py)
     ds = DSGANScheduler(epochs=300, network="generator")
-    assert ds.scale(49) == 1.0
-    assert abs(ds.scale(50) - 0.8) < 1e-12
-    assert abs(ds.scale(100) - 0.64) < 1e-12
+    assert ds.scale(0) == 1.0 and ds.scale(299) == 1.0
+    # the stair the code intended remains available, with torch's
+    # milestone-0 quirk (one gamma from epoch 0)
+    ds2 = DSGANScheduler(epochs=300, network="generator", intended_stair=True)
+    assert abs(ds2.scale(0) - 0.8) < 1e-12
+    assert abs(ds2.scale(50) - 0.64) < 1e-12
+    assert abs(ds2.scale(100) - 0.512) < 1e-12
 
     pl = ReduceLROnPlateauScheduler(factor=0.5, patience=1)
     scales = [pl.scale(e, metric=1.0) for e in range(5)]  # flat -> reduce
