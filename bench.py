@@ -241,6 +241,21 @@ def bench_family(family: str, task: str = "uncond", B: int = 512,
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
+    # sample through the 1-device mesh sampler — the ONE jitted program per
+    # family that cli/inference uses (parallel/zoo).  The plain single-chip
+    # gen.sample of the non-AR families dispatches eagerly, which is fine
+    # locally but pays a per-op round-trip through a remote-TPU tunnel.
+    from ralf_tpu.parallel.decode import make_decode_mesh
+    from ralf_tpu.parallel.zoo import build_mesh_sampler
+
+    is_ar = cfg.experiment in ("ralf", "autoreg")
+    ms = build_mesh_sampler(
+        gen, make_decode_mesh(jax.devices()[:1]), sampling, task=task,
+        # AR families ride the adopted flagship decode config (BENCH_NOTES
+        # quality gates); other families have no int8 cache path
+        kv_quant=is_ar, self_quant=is_ar,
+    )
+
     def run(i: int):
         # memoization hygiene: fresh host RNG draws + perturbed canvases +
         # folded key per iteration
@@ -251,13 +266,13 @@ def bench_family(family: str, task: str = "uncond", B: int = 512,
         k = jax.random.fold_in(key, i)
         if is_token:
             cond, _ = gen.build_condition(b, rng, task=task)
-            out = gen.sample(variables, cond, sampling, k,
-                             return_tokens=True)
-            layout, toks = out if isinstance(out, tuple) else (out, None)
-            jax.block_until_ready(layout.label)
-            return np.asarray(toks if toks is not None else layout.label)
-        layout = gen.sample(variables, b, rng, key=k) \
-            if cfg.experiment == "icvt" else gen.sample(variables, b, rng)
+            if hasattr(ms, "sample_tokens"):  # AR / relation samplers
+                toks = ms.sample_tokens(variables, cond, k)
+            else:
+                _, toks = ms.sample(variables, cond, k, return_tokens=True)
+            return np.asarray(toks)
+        layout = ms.sample(variables, b, rng, key=k) \
+            if cfg.experiment == "icvt" else ms.sample(variables, b, rng)
         jax.block_until_ready(layout.label)
         return np.asarray(layout.center_x)
 

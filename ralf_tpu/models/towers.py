@@ -134,9 +134,11 @@ LPIPS_SCALE = (0.458, 0.448, 0.450)
 
 # torchvision alexnet `features` plan: (out_ch, kernel, stride, padding);
 # "M" = MaxPool(3, 2).  Indices mirror the torchvision state_dict
-# (`features.{i}.weight`), so the converter is a pure rename.
+# (`features.{i}.weight`), so the converter is a pure rename.  The final
+# MaxPool (features.12) is NOT here: the lpips slices end at relu5
+# (`lpips/pretrained_networks.py alexnet`: slice5 = modules 10-11).
 _ALEXNET_PLAN = ((64, 11, 4, 2), "M", (192, 5, 1, 2), "M",
-                 (384, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1), "M")
+                 (384, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1))
 
 
 class AlexNetFeatures(nn.Module):

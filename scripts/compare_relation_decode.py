@@ -193,7 +193,7 @@ def main() -> None:
         for step in range(args.train_steps):
             random.seed(1000 + step)
             inputs, targets = model.preprocess(dict(batch_t))
-            losses, _ = model.train_loss(inputs, targets)
+            _, losses = model.train_loss(inputs, targets)  # (outputs, losses)
             loss = sum(losses.values())
             opt.zero_grad()
             loss.backward()

@@ -31,10 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sum_kernel(x_ref, o_ref):
-    # one cheap reduction per block: forces the DMA, negligible VPU time
-    o_ref[...] = jnp.sum(
-        x_ref[...].astype(jnp.float32), axis=tuple(range(1, x_ref.ndim))
-    )
+    # one cheap reduction per block: forces the DMA, negligible VPU time.
+    # Output is [bb, 128] (rank-1 outputs require 128-multiple blocks on
+    # this lowering) — the row sum broadcast across the lane dim.  The
+    # reduction keeps rank >= 2 throughout: a rank-1 intermediate SIGABRTs
+    # Mosaic ("arr.size() >= layout_rank").
+    x = x_ref[...].astype(jnp.float32)
+    s = jnp.sum(x, axis=tuple(range(2, x.ndim)))  # [bb, d1]
+    s = jnp.sum(s, axis=1, keepdims=True)  # [bb, 1]
+    o_ref[...] = jnp.broadcast_to(s, o_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("bb",))
@@ -45,17 +50,19 @@ def stream_sum(x: jax.Array, bb: int = 8) -> jax.Array:
     assert B >= bb and B % bb == 0, f"B={B} must be a multiple of bb={bb}"
     blk = (bb,) + x.shape[1:]
     ix = lambda b: (b,) + (0,) * (x.ndim - 1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _sum_kernel,
-        out_shape=jax.ShapeDtypeStruct((B,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
         grid=(B // bb,),
         in_specs=[pl.BlockSpec(blk, ix, memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bb,), lambda b: (b,), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=x.size, bytes_accessed=x.size * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(x)
+    return out[:, 0]
 
 
 def timed(fn, xs, tag, nbytes, warm):
@@ -77,8 +84,10 @@ def main():
     nbytes = B * M * E  # one int8 memory slab's bytes
 
     key = jax.random.PRNGKey(0)
+    N = 9  # slab 0 is the dedicated warmup slab; HBM budget: one int8 set
+    # (N x 356MB at B=2048) plus ONE derived view family at a time
     slabs = []
-    for i in range(51):  # slab 0 is the dedicated warmup slab
+    for i in range(N):
         r = jax.random.randint(
             jax.random.fold_in(key, i), (B, M, E), -127, 128, jnp.int32
         )
@@ -95,25 +104,22 @@ def main():
     def vf32(s):
         # clear bit 30 of each word first: with the exponent's MSB zero no
         # 32-bit pattern is NaN/Inf, so the f32 reduction stays finite and
-        # the 51 outputs stay distinct (random int8 bytes otherwise hit a
+        # the outputs stay distinct (random int8 bytes otherwise hit a
         # NaN pattern in ~every row and all sums collapse to NaN; ADVICE r3)
         w = v32(s) & jnp.int32(~(1 << 30))
         return jax.lax.bitcast_convert_type(w[..., None], jnp.float32)[..., 0]
 
-    views16 = [v16(s) for s in slabs]
-    views32 = [v32(s) for s in slabs]
-    viewsf32 = [vf32(s) for s in slabs]
-    jax.block_until_ready((views16, views32, viewsf32))
-    # bf16 reference slab: SAME element count (double the bytes) — the rate
-    # the bf16 kernel enjoys
-    bf16 = [s.astype(jnp.bfloat16) for s in slabs]
-    jax.block_until_ready(bf16)
-
     timed(stream_sum, slabs[1:], f"int8   [{B},{M},{E}]", nbytes, slabs[0])
-    timed(stream_sum, views16[1:], f"int16  [{B},{M},{E // 2}] (bitcast)", nbytes, views16[0])
-    timed(stream_sum, views32[1:], f"int32  [{B},{M},{E // 4}] (bitcast)", nbytes, views32[0])
-    timed(stream_sum, viewsf32[1:], f"f32    [{B},{M},{E // 4}] (bitcast)", nbytes, viewsf32[0])
-    timed(stream_sum, bf16[1:], f"bf16   [{B},{M},{E}] (2x bytes)", 2 * nbytes, bf16[0])
+    for maker, tag, nb in (
+        (v16, f"int16  [{B},{M},{E // 2}] (bitcast)", nbytes),
+        (v32, f"int32  [{B},{M},{E // 4}] (bitcast)", nbytes),
+        (vf32, f"f32    [{B},{M},{E // 4}] (bitcast)", nbytes),
+        (lambda s: s.astype(jnp.bfloat16), f"bf16   [{B},{M},{E}] (2x bytes)",
+         2 * nbytes),
+    ):
+        views = [jax.block_until_ready(maker(s)) for s in slabs]
+        timed(stream_sum, views[1:], tag, nb, views[0])
+        del views
 
 
 if __name__ == "__main__":
