@@ -241,10 +241,12 @@ def bench_family(family: str, task: str = "uncond", B: int = 512,
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    # sample through the 1-device mesh sampler — the ONE jitted program per
-    # family that cli/inference uses (parallel/zoo).  The plain single-chip
-    # gen.sample of the non-AR families dispatches eagerly, which is fine
-    # locally but pays a per-op round-trip through a remote-TPU tunnel.
+    # Sample through the 1-device mesh sampler's JITTED program — the one
+    # cli/inference uses (parallel/zoo) — with all conditioning built ONCE
+    # and device-resident, and ONLY the canvas perturbed (on device) per
+    # timed iteration.  Same methodology as the flagship headline: through
+    # a remote-TPU tunnel, re-uploading a B=512 f32 image batch per call
+    # (~700MB) would otherwise dominate and measure the link, not the chip.
     from ralf_tpu.parallel.decode import make_decode_mesh
     from ralf_tpu.parallel.zoo import build_mesh_sampler
 
@@ -255,34 +257,82 @@ def bench_family(family: str, task: str = "uncond", B: int = 512,
         # quality gates); other families have no int8 cache path
         kv_quant=is_ar, self_quant=is_ar,
     )
+    name = type(ms).__name__
+    dev = lambda tree: jax.tree.map(jnp.asarray, tree)
+
+    if is_token:
+        cond, _ = gen.build_condition(batch, rng, task=task)
+    img_dtype = jnp.bfloat16 if cfg.tokenizer is not None else jnp.float32
+
+    if name in ("MeshSampler", "RelationMeshSampler"):
+        from ralf_tpu.core.conditioning import build_forced_tokens
+
+        if name == "RelationMeshSampler":
+            a, _ = ms._prepare(cond)
+            args = dev((a["const_seq"], a["const_keep"], a["retrieved"],
+                        a["forced"], a["tensors"]))
+            image0 = jnp.asarray(a["image"], img_dtype)
+            call = lambda img, k: ms._fn(variables, img, args[0], args[1],
+                                         args[2], args[3], args[4], k)
+        else:
+            forced = np.asarray(build_forced_tokens(cond, gen.tokenizer))
+            retrieved = (dev(gen._retrieved_arrays(cond.retrieved))
+                         if hasattr(gen, "_retrieved_arrays") else {})
+            cs, ck, fc = dev((np.asarray(cond.const_seq),
+                              np.asarray(cond.const_mask), forced))
+            image0 = jnp.asarray(np.asarray(cond.image), img_dtype)
+            call = lambda img, k: ms._fn(variables, img, cs, ck, retrieved,
+                                         fc, k)
+    elif name == "MaskGITMeshSampler":
+        image_, seq_user, known_user, enk, _ = ms._prepare(cond)
+        image0 = image_.astype(img_dtype)
+        fn = ms._fn(enk)
+        call = lambda img, k: fn(variables, img, seq_user, known_user, k)
+    elif name == "DiffusionMeshSampler":
+        prepared, ts, skips, _ = ms._prepare(cond, key)
+        prepared = dev(prepared)
+        image0 = jnp.asarray(prepared["image"], img_dtype)
+        fn = ms._fn()
+        call = lambda img, k: fn(variables, {**prepared, "image": img},
+                                 ts, skips, k)
+    elif name == "GANMeshSampler":
+        inputs, _ = ms._prepare(batch, rng)
+        inputs = dev(inputs)
+        image0 = jnp.asarray(inputs["image"], img_dtype)
+        fn = ms._fn()
+        call = lambda img, k: fn(variables, {**inputs, "image": img})
+    elif name == "ICVTMeshSampler":
+        image_, z, _ = ms._prepare(batch, rng, key)
+        image0 = jnp.asarray(image_, img_dtype)
+        z = jnp.asarray(z)
+        fn = ms._fn()
+        call = lambda img, k: fn(variables, img, z)
+    else:  # RetrieverMeshSampler
+        image0 = jnp.asarray(ms._pad(np.asarray(batch["image"]),
+                                     ms._rows(B)), img_dtype)
+        feats = jnp.asarray(gen.retriever.features)
+        fn = ms._fn()
+        call = lambda img, k: fn(img.astype(jnp.float32), feats)
+
+    image0 = jax.block_until_ready(image0)
 
     def run(i: int):
-        # memoization hygiene: fresh host RNG draws + perturbed canvases +
-        # folded key per iteration
-        b = dict(batch)
-        b["image"] = (np.asarray(batch["image"], np.float32)
-                      + rng.normal(0, 0.05, batch["image"].shape)
-                      .astype(np.float32))
-        k = jax.random.fold_in(key, i)
-        if is_token:
-            cond, _ = gen.build_condition(b, rng, task=task)
-            if hasattr(ms, "sample_tokens"):  # AR / relation samplers
-                toks = ms.sample_tokens(variables, cond, k)
-            else:
-                _, toks = ms.sample(variables, cond, k, return_tokens=True)
-            return np.asarray(toks)
-        layout = ms.sample(variables, b, rng, key=k) \
-            if cfg.experiment == "icvt" else ms.sample(variables, b, rng)
-        jax.block_until_ready(layout.label)
-        return np.asarray(layout.center_x)
+        img_i = image0 + jax.random.normal(
+            jax.random.PRNGKey(100 + i), image0.shape, image0.dtype) * 0.05
+        jax.block_until_ready(img_i)  # perturbation excluded from timing
+        t0 = time.perf_counter()
+        out = call(img_i, jax.random.fold_in(key, i))
+        out = jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        leaves = jax.tree.leaves(out)
+        return dt, np.asarray(leaves[0]).tobytes()
 
     run(0)  # warm / compile
     times, outs = [], []
     for i in range(iters):
-        t0 = time.perf_counter()
-        o = run(i + 1)
-        times.append(time.perf_counter() - t0)
-        outs.append(o.tobytes())
+        dt, o = run(i + 1)
+        times.append(dt)
+        outs.append(o)
     assert len(set(outs)) == iters or cfg.experiment == "retriever", \
         "memoized executions polluted timing"
     best = min(times)
