@@ -59,6 +59,19 @@ def build_flagship(self_quant: bool | None = None) -> SimpleNamespace:
         tok, GeneratorConfig(dtype=jnp.bfloat16), "uncond", image_hw=HW, top_k=16
     )
     variables = gen.init(jax.random.PRNGKey(0))
+    # pre-cast float PARAMS to the compute dtype (OFF by default —
+    # measured 2491.6 vs the 2534-2542 band, i.e. neutral-to-worse: the
+    # per-call f32->bf16 weight conversions the r4 encode profile showed
+    # are async-overlapped by XLA, so removing them buys nothing and the
+    # bf16 weight rounding costs a little; kept as an env toggle for
+    # future toolchains).  batch_stats stay f32 either way.
+    if os.environ.get("RALF_BENCH_BF16_PARAMS", "0") == "1":
+        variables = dict(variables)
+        variables["params"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            variables["params"],
+        )
     sampling = SamplingConfig(name="top_p", top_p=0.9, temperature=1.0)
     key = jax.random.PRNGKey(0)
 
