@@ -105,6 +105,9 @@ def main() -> None:
     p.add_argument("--train-steps", type=int, default=0,
                    help="optional teacher-forcing steps to move both sides "
                         "off the random-init floor before comparing")
+    p.add_argument("--quant", action="store_true",
+                   help="also run our decode with int8 kv+self caches — "
+                        "the relation-path int8 quality gate")
     args = p.parse_args()
 
     import torch
@@ -258,6 +261,7 @@ def main() -> None:
 
     ref_rates, our_rates = [], {r: [] for r in args.retries}
     ref_times, our_times = [], {r: [] for r in args.retries}
+    q_rates = {r: [] for r in args.retries}
     for seed in range(args.seeds):
         # reference side: its own conditioning + automaton + scorer
         random.seed(seed)
@@ -297,6 +301,22 @@ def main() -> None:
                   f"({our_rates[r][-1]:.1%}), {dt / B * 1e3:.0f} ms/sample "
                   f"(incl. compile on first call)")
 
+        # int8 quality gate for the relation path (--quant): the bench
+        # table's relation row runs kv_quant+self_quant — pin that the
+        # quantized caches don't degrade clause satisfaction
+        if args.quant:
+            for r in args.retries:
+                key = jax.random.PRNGKey(seed)
+                layout = gen.sample(variables, cond, sampling, key,
+                                    max_retries=r, kv_quant=True,
+                                    self_quant=True)
+                jax.block_until_ready(layout.label)
+                v = calculate_relation_violation(cond, layout)
+                q_rates[r].append(v["viorated"] / max(v["total"], 1))
+                print(f"[seed {seed}] ours int8 (retries={r}): "
+                      f"{v['viorated']}/{v['total']} violated "
+                      f"({q_rates[r][-1]:.1%})")
+
     print("\n=== matched-weights relation decode comparison ===")
     print(f"model: shared ConcateAuxilaryTaskAutoreg weights "
           f"({'random init' if not args.train_steps else f'{args.train_steps} train steps'}), "
@@ -310,6 +330,10 @@ def main() -> None:
         print(f"ours, candidate scoring R={r:<2}: "
               f"violation {np.mean(our_rates[r]):.1%} +- "
               f"{np.std(our_rates[r]):.1%}, {np.mean(ts) * 1e3:.0f} ms/sample")
+        if args.quant:
+            print(f"ours, int8 kv+self    R={r:<2}: "
+                  f"violation {np.mean(q_rates[r]):.1%} +- "
+                  f"{np.std(q_rates[r]):.1%}")
 
 
 if __name__ == "__main__":
