@@ -64,7 +64,8 @@ def main() -> None:
     cfg.debug = args.debug
     cfg.synthetic_data = args.synthetic
     cfg.cache_dir = args.cache_dir
-    cfg.allow_linear_fallback = args.allow_linear_fallback
+    if args.allow_linear_fallback:  # don't clobber a dotted override
+        cfg.allow_linear_fallback = True
     if args.epochs:
         cfg.train.epochs = args.epochs
     if args.batch_size:
