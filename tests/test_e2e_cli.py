@@ -204,6 +204,34 @@ def test_iterative_family_pipeline(tmp_path, experiment):
     assert "fid" in scores and scores["fid"]["mean"] == scores["fid"]["mean"]
 
 
+def test_icvt_pipeline(tmp_path):
+    """ICVT cVAE CLI pipeline (r4): Trainer-routed training, mesh-engaged
+    argmax sampling, pickled layouts."""
+    env = cli_subprocess_env()
+    job_dir = str(tmp_path / "job_icvt")
+    _run(
+        [sys.executable, "-m", "ralf_tpu.cli.train",
+         "--experiment", "icvt", "--job-dir", job_dir,
+         "--debug", "--synthetic", "--batch-size", "8",
+         "--cache-dir", str(tmp_path / "cache"),
+         "model.d_model=40", "model.nhead=2", "model.num_encoder_layers=1",
+         "model.num_decoder_layers=1", "model.backbone=resnet18"],
+        env,
+    )
+    assert os.path.isdir(os.path.join(job_dir, "ckpt_final"))
+    r = _run(
+        [sys.executable, "-m", "ralf_tpu.cli.inference",
+         "--job-dir", job_dir, "--cond", "uncond", "--split", "test",
+         "--num-seeds", "1", "--batch-size", "16"],
+        env,
+    )
+    assert "mesh inference" in r.stderr, "mesh sampler did not engage"
+    with open(os.path.join(job_dir, "generated_samples_uncond",
+                           "test_0.pkl"), "rb") as f:
+        data = pickle.load(f)
+    assert data["results"], "ICVT inference produced no layouts"
+
+
 def test_gan_pipeline(tmp_path):
     """GAN jobs must leave a restorable generator checkpoint (fit_gan saves
     under the standard 'final' tag) that cli.inference consumes."""
