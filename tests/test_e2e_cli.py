@@ -161,7 +161,7 @@ def test_retriever_baseline_pipeline(tmp_path):
     assert data["results"], "retriever produced no layouts"
 
 
-@pytest.mark.parametrize("experiment", ["maskgit", "layoutdm"])
+@pytest.mark.parametrize("experiment", ["maskgit", "layoutdm", "vqdiffusion"])
 def test_iterative_family_pipeline(tmp_path, experiment):
     """MaskGIT / LayoutDM CLI pipelines (r4): train -> mesh-engaged
     inference -> evaluate, closing the e2e-CLI coverage gap for the
@@ -169,7 +169,8 @@ def test_iterative_family_pipeline(tmp_path, experiment):
     parallel/zoo mesh programs on the 8-virtual-device test platform)."""
     env = cli_subprocess_env()
     job_dir = str(tmp_path / f"job_{experiment}")
-    extra = ["allow_linear_fallback=true"] if experiment == "layoutdm" else []
+    extra = (["allow_linear_fallback=true"]
+             if experiment == "layoutdm" else [])  # kmeans preset downgrade
     _run(
         [sys.executable, "-m", "ralf_tpu.cli.train",
          "--experiment", experiment, "--job-dir", job_dir,
@@ -232,18 +233,19 @@ def test_icvt_pipeline(tmp_path):
     assert data["results"], "ICVT inference produced no layouts"
 
 
-def test_gan_pipeline(tmp_path):
+@pytest.mark.parametrize("experiment", ["cglgan", "dsgan"])
+def test_gan_pipeline(tmp_path, experiment):
     """GAN jobs must leave a restorable generator checkpoint (fit_gan saves
     under the standard 'final' tag) that cli.inference consumes."""
     env = cli_subprocess_env()
-    job_dir = str(tmp_path / "job_cglgan")
+    job_dir = str(tmp_path / f"job_{experiment}")
     _run(
         [sys.executable, "-m", "ralf_tpu.cli.train",
-         "--experiment", "cglgan", "--job-dir", job_dir,
+         "--experiment", experiment, "--job-dir", job_dir,
          "--debug", "--synthetic", "--batch-size", "8",
          "--cache-dir", str(tmp_path / "cache"), *TINY_MODEL],
         env,
-    )
+    )  # --debug pins epochs=1, incl. dsgan's 300-epoch preset
     assert os.path.isdir(os.path.join(job_dir, "ckpt_final"))
     assert os.path.isdir(os.path.join(job_dir, "ckpt_final_dis"))
     metrics = [json.loads(l) for l in open(os.path.join(job_dir, "metrics.jsonl"))]
