@@ -161,7 +161,9 @@ def test_retriever_baseline_pipeline(tmp_path):
     assert data["results"], "retriever produced no layouts"
 
 
-@pytest.mark.parametrize("experiment", ["maskgit", "layoutdm", "vqdiffusion"])
+@pytest.mark.parametrize("experiment",
+                         ["maskgit", "layoutdm", "vqdiffusion",
+                          "layoutdm_ra"])
 def test_iterative_family_pipeline(tmp_path, experiment):
     """MaskGIT / LayoutDM CLI pipelines (r4): train -> mesh-engaged
     inference -> evaluate, closing the e2e-CLI coverage gap for the
@@ -170,7 +172,9 @@ def test_iterative_family_pipeline(tmp_path, experiment):
     env = cli_subprocess_env()
     job_dir = str(tmp_path / f"job_{experiment}")
     extra = (["allow_linear_fallback=true"]
-             if experiment == "layoutdm" else [])  # kmeans preset downgrade
+             if experiment.startswith("layoutdm") else [])  # kmeans preset
+    if experiment.endswith("_ra"):
+        extra.append("generator_kwargs.top_k=4")
     _run(
         [sys.executable, "-m", "ralf_tpu.cli.train",
          "--experiment", experiment, "--job-dir", job_dir,
