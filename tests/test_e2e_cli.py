@@ -237,17 +237,21 @@ def test_icvt_pipeline(tmp_path):
     assert data["results"], "ICVT inference produced no layouts"
 
 
-@pytest.mark.parametrize("experiment", ["cglgan", "dsgan"])
+@pytest.mark.parametrize("experiment", ["cglgan", "dsgan", "cglgan_ra"])
 def test_gan_pipeline(tmp_path, experiment):
     """GAN jobs must leave a restorable generator checkpoint (fit_gan saves
-    under the standard 'final' tag) that cli.inference consumes."""
+    under the standard 'final' tag) that cli.inference consumes; the _ra
+    leg routes the retrieval-augmented loader through the GAN mesh
+    sampler."""
     env = cli_subprocess_env()
     job_dir = str(tmp_path / f"job_{experiment}")
+    extra = (["generator_kwargs.top_k=4"]
+             if experiment.endswith("_ra") else [])
     _run(
         [sys.executable, "-m", "ralf_tpu.cli.train",
          "--experiment", experiment, "--job-dir", job_dir,
          "--debug", "--synthetic", "--batch-size", "8",
-         "--cache-dir", str(tmp_path / "cache"), *TINY_MODEL],
+         "--cache-dir", str(tmp_path / "cache"), *TINY_MODEL, *extra],
         env,
     )  # --debug pins epochs=1, incl. dsgan's 300-epoch preset
     assert os.path.isdir(os.path.join(job_dir, "ckpt_final"))
