@@ -5,6 +5,14 @@ flagship, every task arm (incl. relation at default retries), printing a
 markdown table for BENCH_NOTES.md plus one JSON line per row.
 
 Usage: python scripts/bench_zoo.py [--batch 512] [--quick]
+
+Operational note (remote-TPU tunnels): a single long-lived process
+sweeping many families can hit transient tunnel wedges on a big compile
+(observed once on the layoutdm row: blocked >30min, then the identical
+row completed in ~2min from a fresh process).  When that happens, run the
+rows as separate `python bench.py --family F --task T` invocations
+(--only also narrows this sweep) — the r4 table in BENCH_NOTES.md was
+collected that way.
 """
 
 import argparse
