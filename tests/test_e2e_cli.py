@@ -237,7 +237,8 @@ def test_icvt_pipeline(tmp_path):
     assert data["results"], "ICVT inference produced no layouts"
 
 
-@pytest.mark.parametrize("experiment", ["cglgan", "dsgan", "cglgan_ra"])
+@pytest.mark.parametrize("experiment",
+                         ["cglgan", "dsgan", "cglgan_ra", "dsgan_ra"])
 def test_gan_pipeline(tmp_path, experiment):
     """GAN jobs must leave a restorable generator checkpoint (fit_gan saves
     under the standard 'final' tag) that cli.inference consumes; the _ra
