@@ -268,23 +268,27 @@ def main() -> None:
             if is_token_model:
                 cond, _ = gen.build_condition(batch, rng, task=args.cond) \
                     if hasattr(gen, "build_condition") else (None, None)
-                # kv_quant only exists on the AR decode path; other token
-                # models (maskgit/diffusion) fail loudly if requested
-                extra = {"kv_quant": True} if args.kv_quant else {}
-                if args.self_quant:
-                    extra["self_quant"] = True
-                if args.cond == "relation":
-                    if args.no_backtrack:
-                        extra["use_backtrack"] = False
-                    elif args.max_retries != 4:
-                        extra["max_retries"] = args.max_retries
                 if mesh_sampler is not None:
+                    # kv/self-quant, backtracking and retries were baked into
+                    # the mesh sampler at construction (build_mesh_sampler
+                    # validates them per family and fails loudly)
                     layout, seq = mesh_sampler.sample(
                         variables, cond,
                         jax.random.fold_in(key, len(results)),
                         return_tokens=True,
                     )
                 else:
+                    # eager fallback (--mesh off): kv_quant only exists on
+                    # the AR decode path; other token models (maskgit/
+                    # diffusion) fail loudly if requested
+                    extra = {"kv_quant": True} if args.kv_quant else {}
+                    if args.self_quant:
+                        extra["self_quant"] = True
+                    if args.cond == "relation":
+                        if args.no_backtrack:
+                            extra["use_backtrack"] = False
+                        elif args.max_retries != 4:
+                            extra["max_retries"] = args.max_retries
                     out = gen.sample(variables, cond, sampling,
                                      jax.random.fold_in(key, len(results)),
                                      return_tokens=True, **extra)

@@ -170,7 +170,11 @@ class MaskGITMeshSampler(MeshProgram):
         super().__init__(mesh)
         self.gen = gen
         self.sampling = sampling
-        self.num_timesteps = num_timesteps or gen.num_timesteps
+        self.num_timesteps = (num_timesteps if num_timesteps is not None
+                              else gen.num_timesteps)
+        if self.num_timesteps < 1:
+            raise ValueError(
+                f"num_timesteps must be >= 1, got {self.num_timesteps}")
         self._fns = {}  # keyed by element_num_known
 
     def _fn(self, element_num_known: bool):
@@ -501,6 +505,13 @@ def build_mesh_sampler(gen, mesh, sampling: Optional[SamplingConfig], *,
     from ralf_tpu.models.maskgit import MaskGITGenerator
     from ralf_tpu.models.retriever_baseline import RetrieverGenerator
 
+    # int8 caches exist only on the AR decode scans; fail loudly instead of
+    # silently returning unquantized results for other families (the eager
+    # paths raise a TypeError for the same request — keep the contract)
+    if (kv_quant or self_quant) and not isinstance(gen, AutoregGenerator):
+        raise ValueError(
+            f"--kv-quant/--self-quant require an AR-family generator with "
+            f"int8 cache support; {type(gen).__name__} has none")
     if isinstance(gen, AutoregGenerator):
         if task == "relation" and use_backtrack:
             return RelationMeshSampler(

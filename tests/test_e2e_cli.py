@@ -259,12 +259,13 @@ def test_gan_pipeline(tmp_path, experiment):
     assert os.path.isdir(os.path.join(job_dir, "ckpt_final_dis"))
     metrics = [json.loads(l) for l in open(os.path.join(job_dir, "metrics.jsonl"))]
     assert metrics and "g_loss" in metrics[0] and "d_loss" in metrics[0]
-    _run(
+    r = _run(
         [sys.executable, "-m", "ralf_tpu.cli.inference",
          "--job-dir", job_dir, "--cond", "uncond", "--split", "test",
          "--num-seeds", "1", "--batch-size", "16"],
         env,
     )
+    assert "mesh inference" in r.stderr, "GAN mesh sampler did not engage"
     with open(os.path.join(job_dir, "generated_samples_uncond",
                            "test_0.pkl"), "rb") as f:
         data = pickle.load(f)

@@ -240,3 +240,31 @@ def test_build_mesh_sampler_rejects_unknown():
     mesh8, _ = _meshes()
     with pytest.raises(TypeError):
         build_mesh_sampler(object(), mesh8, None)
+
+
+def test_build_mesh_sampler_rejects_quant_for_non_ar():
+    """--kv-quant/--self-quant on a family without int8 caches must fail
+    loudly (ADVICE r4: the mesh path silently dropped them)."""
+    from ralf_tpu.models.maskgit import MaskGITGenerator
+
+    gen = MaskGITGenerator(_tok(special=("pad", "mask")), TINY,
+                           num_timesteps=4, image_hw=HW)
+    mesh8, _ = _meshes()
+    with pytest.raises(ValueError, match="int8 cache"):
+        build_mesh_sampler(gen, mesh8, SamplingConfig(name="top_p"),
+                           task="c", kv_quant=True)
+    with pytest.raises(ValueError, match="int8 cache"):
+        build_mesh_sampler(gen, mesh8, SamplingConfig(name="top_p"),
+                           task="c", self_quant=True)
+
+
+def test_maskgit_mesh_sampler_rejects_zero_timesteps():
+    from ralf_tpu.models.maskgit import MaskGITGenerator
+    from ralf_tpu.parallel.zoo import MaskGITMeshSampler
+
+    gen = MaskGITGenerator(_tok(special=("pad", "mask")), TINY,
+                           num_timesteps=4, image_hw=HW)
+    mesh8, _ = _meshes()
+    with pytest.raises(ValueError, match=">= 1"):
+        MaskGITMeshSampler(gen, mesh8, SamplingConfig(name="top_p"),
+                           num_timesteps=0)
