@@ -141,6 +141,17 @@ def main() -> None:
     combined: dict[str, dict] = {}
     for split in splits:
         ds = {"val": val_ds, "test": test_ds}[split]
+        if args.unannotated:
+            # canvases must come from the SAME split the pickles were
+            # generated on — the with_no_annotation parquet dir when the
+            # dump provides it (mirrors cli/inference.py's source switch)
+            try:
+                from ralf_tpu.data.dataset import HFParquetDataset
+
+                ds = HFParquetDataset(cfg.dataset, "with_no_annotation")
+            except Exception:
+                logging.warning("no with_no_annotation split; evaluating "
+                                "against %s canvases", split)
         idx = np.arange(len(ds))
         gt_layout = records_to_layout(_gt_records(ds, idx), S)
         EB = max(1, args.eval_batch_size)

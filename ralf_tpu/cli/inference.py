@@ -65,10 +65,14 @@ def main() -> None:
     p.add_argument("--no-backtrack", action="store_true",
                    help="disable backtracking in relation-constrained decode "
                         "(the reference's backtrack=False sweep arm)")
-    p.add_argument("--max-retries", type=int, default=4,
+    p.add_argument("--max-retries", type=int, default=8,
                    help="relation-decode backtracking budget (violations "
                         "fall monotonically with retries: 59.5%% at 0 -> "
-                        "23.6%% at 12 on the synthetic relation model). "
+                        "23.6%% at 12 on the synthetic relation model; the "
+                        "default R=8 BEATS the reference automaton 1.4x on "
+                        "violations at ~21x lower latency — MODELS_E2E.md; "
+                        "R=4 trades ~23%% fewer violations back for ~30%% "
+                        "faster decode). "
                         "SEMANTIC DELTA vs the reference: the reference's "
                         "relation automaton (relation_restriction.py) prunes "
                         "the token space IN-LOOP during generation; this "
@@ -287,7 +291,7 @@ def main() -> None:
                     if args.cond == "relation":
                         if args.no_backtrack:
                             extra["use_backtrack"] = False
-                        elif args.max_retries != 4:
+                        else:
                             extra["max_retries"] = args.max_retries
                     out = gen.sample(variables, cond, sampling,
                                      jax.random.fold_in(key, len(results)),

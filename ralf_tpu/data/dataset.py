@@ -31,7 +31,11 @@ from ralf_tpu.data.transforms import compose
 # `image2layout/hfds_builder/helpers/global_variables.py:4-5` (240x350 WxH)
 IMAGE_H, IMAGE_W = 350, 240
 
-PKU_LABELS = ("text", "logo", "underlay")
+# ClassLabel id order = SORTED vocabulary names, matching the reference's
+# cast (`train/data.py:178-181`: `names = sorted(vocabulary[...])`) and
+# the parquet dumps written by cli/build_dataset — PKU is logo=0, text=1,
+# underlay=2 (NOT csv order; caught by the hermetic dataset-build test).
+PKU_LABELS = ("logo", "text", "underlay")
 CGL_LABELS = ("embellishment", "logo", "text", "underlay")
 
 

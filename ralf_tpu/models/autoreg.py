@@ -314,7 +314,7 @@ class AutoregGenerator:
 
     def sample(self, variables, cond: Condition, sampling: SamplingConfig,
                key: jax.Array, return_tokens: bool = False,
-               use_backtrack: bool = True, max_retries: int = 4,
+               use_backtrack: bool = True, max_retries: int = 8,
                kv_quant: bool = False, self_quant: bool = False):
         memory = self.encode_memory(variables, cond)
         forced = build_forced_tokens(cond, self.tokenizer)

@@ -160,7 +160,7 @@ def relation_aware_decode(
     tensors: dict,
     sampling: SamplingConfig,
     key: jax.Array,
-    max_retries: int = 4,
+    max_retries: int = 8,
     retry_temperature: float = 1.5,  # `autoreg.py:351`
     kv_quant: bool = False,  # int8 shared cross-memory, as in ar_decode
     self_quant: bool = False,  # int8 per-token self caches, as in ar_decode

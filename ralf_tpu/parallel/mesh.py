@@ -123,3 +123,30 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def assert_dp_train_hlo(compiled, expect_sync: bool = True) -> None:
+    """Assert a compiled data-parallel train step matches the DDP contract
+    (SURVEY §2.10): its ONLY cross-device collectives are the all-reduces
+    that sync gradients / batch statistics — no all-gathers, all-to-alls or
+    permutes (which would mean an activation or weight got sharded and the
+    per-chip scaling claim silently broke), and no host round-trips.
+
+    With `expect_sync` (a mesh with >1 device on the batch axes) at least
+    one all-reduce must be present — a program with none never syncs
+    replicas and is silently training n independent models.
+    """
+    txt = compiled.as_text().lower()
+    forbidden = ("all-gather", "all-to-all", "collective-permute",
+                 "collective-broadcast")
+    for op in forbidden:
+        assert f"{op}(" not in txt and f"{op}-start(" not in txt, (
+            f"dp train step contains a non-all-reduce collective ({op})")
+    for op in ("infeed", "outfeed", "send-to-host", "recv-from-host",
+               "xla_python_cpu_callback", "xla_ffi_python_cpu_callback"):
+        assert op not in txt, f"dp train step contains a host sync ({op})"
+    has_ar = ("all-reduce(" in txt or "all-reduce-start(" in txt
+              or "reduce-scatter(" in txt)  # XLA may split the grad sync
+    if expect_sync:
+        assert has_ar, ("dp train step over a multi-device mesh has NO "
+                        "gradient all-reduce — replicas never sync")

@@ -70,7 +70,7 @@ class RelationMeshSampler(MeshSampler):
 
     def __init__(self, gen, mesh, sampling: SamplingConfig, *,
                  kv_quant: bool = False, self_quant: bool = False,
-                 max_retries: int = 4) -> None:
+                 max_retries: int = 8) -> None:
         self.max_retries = max_retries
         super().__init__(gen, mesh, sampling,
                          kv_quant=kv_quant, self_quant=self_quant)
@@ -489,7 +489,7 @@ class RetrieverMeshSampler(MeshProgram):
 def build_mesh_sampler(gen, mesh, sampling: Optional[SamplingConfig], *,
                        task: str = "uncond", kv_quant: bool = False,
                        self_quant: bool = False, use_backtrack: bool = True,
-                       max_retries: int = 4):
+                       max_retries: int = 8):
     """One dispatch point for `cli/inference.py --mesh`: returns the
     family-appropriate mesh sampler for ANY experiment preset, or raises
     for a generator type it does not know (nothing silently falls back).

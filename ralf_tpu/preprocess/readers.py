@@ -105,8 +105,8 @@ def read_cgl(dataset_root: str, max_seq_length: int = 10) -> list[dict]:
                       "center_x": (l + w / 2) / gw,
                       "center_y": (t + h / 2) / gh,
                       "width": w / gw, "height": h / gh}
-                if _valid_area(**{k: el[k] for k in
-                                  ("center_x", "center_y", "width", "height")}):
+                if _valid_area(el["center_x"], el["center_y"],
+                               el["width"], el["height"]):
                     objs[ann["image_id"]].append(el)
         for id_, meta in info.items():
             elements = [] if split == "test" else objs[id_]

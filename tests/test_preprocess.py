@@ -1,5 +1,7 @@
-"""Offline builders: saliency nets (shape smoke), inpaint masks, readers'
-split mapping, cache builders on synthetic data."""
+"""Offline builders: saliency nets (shape smoke), inpaint masks, cache
+builders on synthetic data.  The annotation readers, split mapping and the
+full dataset-dump pipeline are exercised hermetically in
+tests/test_build_dataset.py (fabricated PKU csv / CGL COCO-json trees)."""
 
 import os
 import pickle
