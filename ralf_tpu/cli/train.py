@@ -43,6 +43,12 @@ def main() -> None:
                    help="rolling mid-epoch checkpoint cadence (train steps)")
     p.add_argument("--save-every-secs", type=float, default=0.0,
                    help="rolling mid-epoch checkpoint cadence (wall seconds)")
+    p.add_argument("--uint8-images", action="store_true",
+                   help="fast host input pipeline: canvases travel to the "
+                        "device as raw uint8 and are normalized on chip "
+                        "at the encoder ingress (~3x host batches/sec, 4x "
+                        "less host->device traffic; bit-identical training "
+                        "up to the f32 rounding of x/255)")
     p.add_argument("--allow-linear-fallback", action="store_true",
                    help="permit kmeans-preset tokenizers to downgrade to the "
                         "linear vocabulary when centers are missing")
@@ -107,10 +113,15 @@ def main() -> None:
               "config saved, no checkpoint needed)")
         return
 
+    import numpy as _np
+
+    image_dtype = _np.uint8 if args.uint8_images else _np.float32
     train_loader = BatchLoader(train_ds, cfg.train.batch_size,
-                               transforms=cfg.transforms, seed=cfg.train.seed)
+                               transforms=cfg.transforms, seed=cfg.train.seed,
+                               image_dtype=image_dtype)
     val_loader = BatchLoader(val_ds, cfg.train.batch_size, shuffle=False,
-                             transforms=cfg.transforms, seed=cfg.train.seed)
+                             transforms=cfg.transforms, seed=cfg.train.seed,
+                             image_dtype=image_dtype)
 
     needs_retrieval = cfg.experiment in ("ralf",) or cfg.generator_kwargs.get(
         "with_retrieval"

@@ -162,7 +162,13 @@ class ResNetFPNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
-        """img: [B, H, W, 4] in [0, 1] (RGB + saliency)."""
+        """img: [B, H, W, 4] in [0, 1] (RGB + saliency) — or uint8 0..255
+        from the fast host pipeline (BatchLoader image_dtype='uint8'),
+        normalized here ON DEVICE: the cast fuses into the first conv's
+        input read, frees the host of the f32 convert (~0.45s per 128
+        canvases on one core) and cuts host->device transfer 4x."""
+        if jnp.issubdtype(img.dtype, jnp.integer):
+            img = img.astype(self.dtype) * jnp.asarray(1.0 / 255.0, self.dtype)
         if self.normalize_rgb or self.fpn_style == "cgl":
             mean = jnp.asarray(IMAGENET_MEAN + (0.0,), img.dtype)
             std = jnp.asarray(IMAGENET_STD + (1.0,), img.dtype)

@@ -43,6 +43,10 @@ from ralf_tpu.core.layout import Layout
 
 def coarse_saliency_features(images: jax.Array, grid: int = 16) -> jax.Array:
     """[B, H, W, 4] -> L2-normalized [B, grid*grid] saliency thumbnails."""
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        # uint8 fast host pipeline (BatchLoader image_dtype): the scale is
+        # immaterial to the L2-normalized thumbnail, cast suffices
+        images = images.astype(jnp.float32) * (1.0 / 255.0)
     sal = images[..., 3:4]
     B, H, W, _ = sal.shape
     feat = jax.image.resize(sal, (B, grid, grid, 1), method="linear")

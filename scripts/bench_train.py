@@ -233,6 +233,14 @@ def breakdown_flagship(B: int, steps: int, warmup: int) -> dict:
         return loss
 
     @jax.jit
+    def loss_fwd_train(variables, inputs, targets, key):
+        # train-mode forward (dropout masks + batch-stat reductions): the
+        # honest numerator for the bwd/fwd split — eval-mode fwd is faster
+        loss, _ = gen.loss(variables, inputs, targets, train=True,
+                           rngs={"dropout": key})
+        return loss
+
+    @jax.jit
     def fwd_bwd(variables, inputs, targets, key):
         def f(params):
             loss, aux = gen.loss(
@@ -272,6 +280,8 @@ def breakdown_flagship(B: int, steps: int, warmup: int) -> dict:
                       perturb_image=bump_encode)
     ms_fwd = timed(loss_fwd, variables, inputs, targets,
                    perturb_image=bump_inputs)
+    ms_fwd_train = timed(loss_fwd_train, variables, inputs, targets,
+                         jax.random.PRNGKey(2), perturb_image=bump_inputs)
     ms_fwd_bwd = timed(fwd_bwd, variables, inputs, targets,
                        jax.random.PRNGKey(2), perturb_image=bump_inputs)
 
@@ -290,22 +300,71 @@ def breakdown_flagship(B: int, steps: int, warmup: int) -> dict:
     return {
         "B": B,
         "encode_fwd_ms": round(ms_encode, 2),
-        "loss_fwd_ms": round(ms_fwd, 2),
+        "loss_fwd_eval_ms": round(ms_fwd, 2),
+        "loss_fwd_train_ms": round(ms_fwd_train, 2),
         "fwd_bwd_ms": round(ms_fwd_bwd, 2),
         "full_step_ms": round(ms_step, 2),
-        "bwd_share": round((ms_fwd_bwd - ms_fwd) / ms_step, 3),
+        "bwd_share": round((ms_fwd_bwd - ms_fwd_train) / ms_step, 3),
         "optimizer_share": round((ms_step - ms_fwd_bwd) / ms_step, 3),
+        # NOTE: standalone sub-jits materialize their outputs at the jit
+        # boundary, so components need not sum to full_step_ms (XLA fuses
+        # across more of the graph inside the one-program step)
         "encode_share_of_fwd": round(ms_encode / ms_fwd, 3),
     }
 
 
-def input_pipeline_rate(B: int, n_batches: int = 12) -> dict:
-    """Host-side batches/sec: BatchLoader (+retrieval wrapper, native
-    collate, prefetch) + gen.preprocess — everything the host must produce
-    per device step."""
+_PARQUET_CACHE = "/tmp/bench_train_parquet"
+
+
+def _parquet_dataset(n: int = 512):
+    """A REAL parquet-backed dataset (written once from synthetic posters):
+    the production input path is arrow fetch + uint8 decode, not the
+    synthetic fixture's per-image procedural render (which costs ~10x an
+    arrow decode and would misreport the pipeline as starving)."""
+    import datasets as hfds
+    from PIL import Image
+
+    from ralf_tpu.data.dataset import DatasetConfig, HFParquetDataset
+
+    root = f"{_PARQUET_CACHE}_{n}"
+    split_dir = os.path.join(root, "train")
+    if not os.path.isdir(split_dir):
+        os.makedirs(split_dir, exist_ok=True)
+        src = _dataset(n)
+        lay = src.get_layouts(np.arange(n))
+        records = []
+        for i in range(n):
+            img = src.get_images(np.asarray([i]))[0]
+            m = lay["mask"][i]
+            records.append({
+                "id": str(i),
+                "image": Image.fromarray(
+                    (img[..., :3] * 255).astype(np.uint8)),
+                "saliency": Image.fromarray(
+                    (img[..., 3] * 255).astype(np.uint8)),
+                "label": lay["label"][i][m].tolist(),
+                **{k: lay[k][i][m].tolist() for k in
+                   ("center_x", "center_y", "width", "height")},
+            })
+        hfds.Dataset.from_list(records).to_parquet(
+            os.path.join(split_dir, "train-00000-of-00001.parquet"))
+    return HFParquetDataset(
+        DatasetConfig(name="pku10", data_dir=root), "train")
+
+
+def input_pipeline_rate(B: int, n_batches: int = 12,
+                        image_dtype=np.float32) -> dict:
+    """Host-side batches/sec off the REAL input path: HFParquetDataset
+    (batched arrow fetch + image decode) -> BatchLoader transforms (native
+    collate) -> retrieval wrapper gather -> gen.preprocess — everything
+    the host must produce per device step.  prefetch=0 measures the raw
+    producer rate; in training a prefetch thread overlaps this with the
+    device step, so the chip starves iff this rate < device steps/sec."""
     gen, _ = _flagship()
-    ds = _dataset(max(4 * B, 512))
+    ds = _parquet_dataset(max(2 * B, 256))
     loader = _loader(ds, B, retrieval=True, prefetch=0)  # raw host rate
+    inner = getattr(loader, "loader", loader)
+    inner.image_dtype = image_dtype
     rng = np.random.default_rng(0)
     it = iter(loader)
     batch = next(it)  # pay one-time setup (gallery embed) outside the clock
@@ -325,6 +384,59 @@ def input_pipeline_rate(B: int, n_batches: int = 12) -> dict:
             "host_layouts_per_sec": done / dt * B}
 
 
+def sustained_rate(B: int, n_steps: int = 24, image_dtype=np.uint8) -> dict:
+    """END-TO-END sustained training rate: the real parquet loader (+
+    retrieval wrapper, prefetch=2 producer thread, uint8 images) feeding
+    the donated train step — measures the actual overlap, not the two
+    rates in isolation.  sustained/device ratio == 1 means the prefetch
+    thread fully hides the host; < 1 quantifies the starvation."""
+    import jax
+
+    from ralf_tpu.train.trainer import TrainConfig, Trainer
+
+    gen, _ = _flagship()
+    # enough rows that one epoch >> prefetch depth: with a tiny fixture
+    # the per-epoch iterator restarts (new producer thread, reshuffle)
+    # dominate and the measurement reflects the fixture, not the pipeline
+    ds = _parquet_dataset(max(8 * B, 1024))
+    loader = _loader(ds, B, retrieval=True, prefetch=2)
+    getattr(loader, "loader", loader).image_dtype = image_dtype
+    trainer = Trainer(gen, TrainConfig(epochs=1, batch_size=B, lr=1e-4,
+                                       job_dir="/tmp/bench_train_job"))
+    rng = np.random.default_rng(0)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    trainer._build_steps()
+    key = jax.random.PRNGKey(1)
+
+    def epoch_steps():
+        nonlocal state, key
+        done = 0
+        while done < n_steps:
+            for batch in loader:
+                if done >= n_steps:
+                    break
+                inputs, targets = gen.preprocess(batch, rng)
+                inputs, targets = trainer._device_batch(inputs, targets)
+                key, sub = jax.random.split(key)
+                state, m = trainer._train_step(state, inputs, targets, sub)
+                done += 1
+                yield m
+
+    # warmup: first 3 steps pay compile + cache fill
+    it = epoch_steps()
+    for _ in range(3):
+        m = next(it)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    n = 0
+    for m in it:
+        n += 1
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return {"B": B, "sustained_steps_per_sec": n / dt,
+            "sustained_layouts_per_sec": n / dt * B}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--families", default="ralf,cglgan,layoutdm")
@@ -334,6 +446,8 @@ def main():
     p.add_argument("--breakdown-b", type=int, default=64)
     p.add_argument("--skip-breakdown", action="store_true")
     p.add_argument("--skip-pipeline", action="store_true")
+    p.add_argument("--sustained", type=int, default=0,
+                   help="also run the end-to-end sustained loop at this B")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -341,7 +455,7 @@ def main():
 
     rows = []
     print(f"# device: {jax.devices()[0]}", file=sys.stderr)
-    for family in args.families.split(","):
+    for family in filter(None, args.families.split(",")):
         for B in (int(b) for b in args.batches.split(",")):
             r = bench_family(family, B, args.steps, args.warmup)
             r = {k: (round(v, 2) if isinstance(v, float) else v)
@@ -357,19 +471,28 @@ def main():
 
     if not args.skip_pipeline:
         for B in (int(b) for b in args.batches.split(",")):
-            r = input_pipeline_rate(B)
-            r = {k: (round(v, 2) if isinstance(v, float) else v)
-                 for k, v in r.items()}
-            r["row"] = "input_pipeline"
-            # starving iff host rate < device steps/sec at the same B
-            dev = next((x for x in rows
-                        if x.get("family") == "ralf(AdamW)"
-                        and x["B"] == B), None)
-            if dev:
-                r["saturation"] = round(
-                    r["host_batches_per_sec"] / dev["steps_per_sec"], 2)
-            rows.append(r)
-            print(json.dumps(r), flush=True)
+            for dt, tag in ((np.float32, "f32"), (np.uint8, "uint8")):
+                r = input_pipeline_rate(B, image_dtype=dt)
+                r = {k: (round(v, 2) if isinstance(v, float) else v)
+                     for k, v in r.items()}
+                r["row"] = f"input_pipeline_{tag}"
+                # starving iff host rate < device steps/sec at the same B
+                dev = next((x for x in rows
+                            if x.get("family") == "ralf(AdamW)"
+                            and x["B"] == B), None)
+                if dev:
+                    r["saturation"] = round(
+                        r["host_batches_per_sec"] / dev["steps_per_sec"], 2)
+                rows.append(r)
+                print(json.dumps(r), flush=True)
+
+    if args.sustained:
+        r = sustained_rate(args.sustained)
+        r = {k: (round(v, 2) if isinstance(v, float) else v)
+             for k, v in r.items()}
+        r["row"] = "sustained_e2e"
+        rows.append(r)
+        print(json.dumps(r), flush=True)
 
     if args.out:
         with open(args.out, "w") as f:

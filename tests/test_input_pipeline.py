@@ -75,9 +75,9 @@ class _SlowDataset(SyntheticPosterDataset):
 
     DECODE_S = 0.03
 
-    def get_images(self, indices):
+    def get_images(self, indices, dtype=np.float32):
         time.sleep(self.DECODE_S)
-        return super().get_images(indices)
+        return super().get_images(indices, dtype)
 
 
 def test_prefetch_overlaps_decode_with_consumer():
@@ -108,7 +108,7 @@ def test_prefetch_overlaps_decode_with_consumer():
 
 def test_prefetch_propagates_producer_errors():
     class _Boom(SyntheticPosterDataset):
-        def get_images(self, indices):
+        def get_images(self, indices, dtype=np.float32):
             raise RuntimeError("decode failed")
 
     ds = _Boom(DatasetConfig(name="synthetic"), size=16, seed=0,
@@ -116,3 +116,40 @@ def test_prefetch_propagates_producer_errors():
     loader = BatchLoader(ds, 8, shuffle=False, prefetch=2)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(loader)
+
+
+def test_uint8_fast_path_matches_f32(parquet_dir):
+    """r5 fast host pipeline: get_images(dtype=uint8) returns the raw
+    decoded bytes whose /255 equals the f32 output exactly, and the
+    device-ingress cast (ResNetFPNEncoder) reproduces the f32 forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from ralf_tpu.models.resnet import ResNetFPNEncoder
+
+    root, H, W = parquet_dir
+    cfg = DatasetConfig(name="pku10", data_dir=root, image_h=H, image_w=W)
+    ds = HFParquetDataset(cfg, "train")
+    idx = np.asarray([2, 9, 5])
+    f32 = ds.get_images(idx)
+    u8 = ds.get_images(idx, dtype=np.uint8)
+    assert u8.dtype == np.uint8
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32,
+                               atol=1e-7)
+
+    enc = ResNetFPNEncoder(backbone="resnet18", d_model=32)
+    v = enc.init(jax.random.PRNGKey(0), jnp.asarray(f32))
+    out_f32 = enc.apply(v, jnp.asarray(f32))
+    out_u8 = enc.apply(v, jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f32),
+                               atol=1e-5)
+
+
+def test_batchloader_image_dtype_flows_through(parquet_dir):
+    root, H, W = parquet_dir
+    cfg = DatasetConfig(name="pku10", data_dir=root, image_h=H, image_w=W)
+    ds = HFParquetDataset(cfg, "train")
+    bl = BatchLoader(ds, 4, shuffle=False, seed=0, prefetch=0,
+                     image_dtype=np.uint8)
+    batch = next(iter(bl))
+    assert batch["image"].dtype == np.uint8
