@@ -129,8 +129,32 @@ def build_flagship(self_quant: bool | None = None) -> SimpleNamespace:
     keep1k = np.asarray(cond.const_mask)
     forced1k = np.asarray(build_forced_tokens(cond, tok))
 
+    # schedule across ENC_CHUNK-sized chunks (scripts/probe_overlap.py, r5):
+    #   whole   — encode all chunks, concat memory, one whole-batch decode
+    #             (the r1-r4 adopted path)
+    #   chunked — encode+decode per chunk in separate jits: the decode's KV
+    #             caches stay at B=1024 working-set and the last chunk's
+    #             decode issues immediately instead of waiting on a
+    #             full-batch memory concat.  Measured 2570.4 vs 2539.1
+    #             layouts/s at B=4096/4 chunks and 2507.9 vs 2481.2 at
+    #             B=2048/2 (+1.2% at both operating points) — adopted.
+    #   pipelined — fused encode(N+1)+decode(N) single program; won the
+    #             first r5 session (+2.4% at B=2048) but LOST at
+    #             B=4096/4 on re-measure (2496.3) — kept for probes only.
+    SCHEDULE = os.environ.get("RALF_BENCH_SCHEDULE", "chunked")
+    assert SCHEDULE in ("whole", "chunked", "pipelined"), SCHEDULE
+
     def sample_fn(image, retrieved, const_seq, const_keep, forced, key):
         B = image.shape[0]
+        if SCHEDULE == "chunked" and B > ENC_CHUNK:
+            outs = []
+            for i, s in enumerate(range(0, B, ENC_CHUNK)):
+                sl = slice(s, min(s + ENC_CHUNK, B))
+                r = {k: a[sl] for k, a in retrieved.items()}
+                mem = enc(variables, image[sl], r, const_seq[sl], const_keep[sl])
+                outs.append(dec(variables, mem, forced[sl],
+                                jax.random.fold_in(key, i)))
+            return jnp.concatenate(outs, 0)
         mems = []
         for s in range(0, B, ENC_CHUNK):
             sl = slice(s, min(s + ENC_CHUNK, B))

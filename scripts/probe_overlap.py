@@ -43,6 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the probe's "baseline" arm is the r1-r4 whole-batch-decode schedule;
+    # bench.py's default is now the winning "chunked" schedule, so pin it
+    # here or the baseline and chunked arms would measure the same thing
+    os.environ["RALF_BENCH_SCHEDULE"] = "whole"
     from bench import build_flagship
     from ralf_tpu.models.ralf import RALFCore
 
