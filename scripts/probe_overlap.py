@@ -47,6 +47,9 @@ def main():
     # bench.py's default is now the winning "chunked" schedule, so pin it
     # here or the baseline and chunked arms would measure the same thing
     os.environ["RALF_BENCH_SCHEDULE"] = "whole"
+    # ... and the r1-r4 chunk size (the r5 default moved to 128 for the
+    # chunked schedule; this probe's arms are all built around CH=1024)
+    os.environ["RALF_BENCH_ENC_CHUNK"] = "1024"
     from bench import build_flagship
     from ralf_tpu.models.ralf import RALFCore
 
