@@ -441,11 +441,13 @@ def main() -> None:
     ms.compile_and_verify(setup.variables, cond_small, setup.key)
 
     per_chip_target = 5000.0 / 8.0
-    # regression tripwire (VERDICT r4 weak #5): anything under 2,600/s is
+    # regression tripwire (VERDICT r4 weak #5): anything under 2,550/s is
     # a real regression, not run noise — fail the bench instead of quietly
-    # reporting it.  (r5 chunked-schedule headline 2689.8; the r3/r4
-    # whole-batch-decode band was 2532-2542 — see BENCH_NOTES.md.)
-    BENCH_FLOOR = 2600.0
+    # reporting it.  2550 trips on a fallback to the r3/r4
+    # whole-batch-decode band (2532-2542) while leaving the r5 headline
+    # (2689.8, chunked schedule at ENC_CHUNK=128) ~5% of tunnel-variance
+    # headroom — see BENCH_NOTES.md.
+    BENCH_FLOOR = 2550.0
     assert best >= BENCH_FLOOR, (
         f"throughput regression: {best:.1f} layouts/s/chip < floor "
         f"{BENCH_FLOOR} (r5=2689.8 at ENC_CHUNK=128 chunked schedule; "
